@@ -1,0 +1,53 @@
+"""Pipeline configuration.
+
+One dataclass carries every knob; its stable hash keys checkpoint manifests so
+a resume only reuses stage output produced under an identical configuration.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class LinkageConfig:
+    # --- determinism ---
+    seed: int = 42
+
+    # --- featurization (reference analog: tokenize + embed,
+    #     zeshel_dataset.py:62-115 / bi_encoder.py:39-83) ---
+    encoder: str = "hashing"  # "hashing" (deterministic, no deps) | "torch" (gated)
+    embed_dim: int = 128  # reference projects 768 -> 128 (bi_encoder.py:36-37)
+    shingle_w: int = 5  # tokens per shingle
+    num_perm: int = 128  # MinHash permutations
+    tokseq_cap: int = 256  # token-hash prefix kept for Levenshtein fallback
+
+    # --- blocking (LSH) ---
+    bands: int = 32  # 32 bands x 4 rows: s-curve threshold ~0.42, high recall
+    max_block_size: int = 64  # salt blocks larger than this
+    salt_shard_size: int = 32  # rows per salted shard (plus the representative)
+    broadcast_key_limit: int = 2_000_000  # multi-key filter via broadcast below this
+
+    # --- scoring (reference analog: dot product eval_zeshel.py:44;
+    #     fallbacks per the north rule) ---
+    tau_jaccard: float = 0.62  # est-Jaccard match threshold
+    tau_dot: float = 0.90  # embedding dot-product match threshold
+    tau_emit: float = 0.35  # emit candidate edges above this (filtered later)
+    borderline_margin: float = 0.08  # Levenshtein fallback band around thresholds
+    tau_lev: float = 0.70  # token-Levenshtein ratio decision threshold
+
+    # --- clustering ---
+    max_cc_rounds: int = 25
+
+    # --- execution ---
+    featurize_concurrency: int | None = None  # None -> Ray autoscaling tasks
+    featurize_batch_size: int = 256
+    shuffle_partitions: int = 64  # num_partitions for joins / groupbys at bench scale
+
+    passthrough_cols: tuple[str, ...] = ("repo", "path", "lang")
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]

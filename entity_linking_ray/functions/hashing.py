@@ -1,0 +1,159 @@
+"""Deterministic hashing kernels (no PYTHONHASHSEED dependence).
+
+Everything here must produce identical output across processes and across
+parallelism levels — cluster labels, blocking keys, and row ids all derive from
+these, and the scaling criterion (same clusters at num_cpus=8 vs 32) depends on
+full determinism. Python's builtin ``hash()`` is salted per-process and is
+therefore banned in this package.
+
+Reference anchors: the reference keys entities by 16-hex-char document ids
+(/root/reference/src/transform_zeshel.py:49); we mirror that with a 16-hex
+``row_id`` derived from (repo, path, commit), plus a ``sha256(content)`` column
+that the north rule requires preserved end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+
+
+def sha256_hex(texts: list[str] | np.ndarray) -> list[str]:
+    """Per-row sha256 hex digest of UTF-8 content (the end-to-end invariant)."""
+    return [hashlib.sha256(t.encode("utf-8", "surrogatepass")).hexdigest() for t in texts]
+
+
+def row_id_hex(repos: list[str], paths: list[str], commits: list[str]) -> list[str]:
+    """Stable 16-hex row id from the (repo, path, commit) natural key.
+
+    Mirrors the reference's 16-hex document_id key space
+    (transform_zeshel.py:49) while being derivable from the input columns.
+    """
+    out = []
+    for r, p, c in zip(repos, paths, commits):
+        h = hashlib.sha1(f"{r}\x00{p}\x00{c}".encode("utf-8", "surrogatepass")).hexdigest()
+        out.append(h[:16].upper())
+    return out
+
+
+def hex16_to_node(hex_ids: list[str]) -> np.ndarray:
+    """Numeric node id for union-find: the 16-hex row id masked to 63 bits,
+    as int64.
+
+    63-bit ids are used for fast numeric min-aggregation in the clustering
+    rounds. int64 (not uint64) is deliberate: values >= 2^63 trip Ray Data's
+    aggregate output into a pickled-python-object extension column that
+    crashes Arrow hash joins (found by tests). At 10^12 rows the birthday
+    collision expectation over 2^63 is ~60 pairs — production deployments
+    should widen to the full hex id (string min works identically, slower);
+    tests assert zero collisions on their corpora.
+    """
+    mask = (1 << 63) - 1
+    return np.array([int(h, 16) & mask for h in hex_ids], dtype=np.int64)
+
+
+# backwards-compat alias (early modules imported the uint64 name)
+hex16_to_uint64 = hex16_to_node
+
+
+def crc32_tokens(tokens: list[bytes]) -> np.ndarray:
+    """Deterministic 32-bit hash per token (zlib.crc32 — C speed, stable)."""
+    return np.array([zlib.crc32(t) for t in tokens], dtype=np.uint64)
+
+
+def rolling_shingle_hashes(token_hashes: np.ndarray, w: int) -> np.ndarray:
+    """Vectorized w-token shingle hashes from per-token 32-bit hashes.
+
+    Combines w consecutive token hashes with a polynomial in a fixed odd
+    multiplier over Z/2^64, then folds to 32 bits. Avoids materializing shingle
+    strings entirely (the reference tokenizes strings row-by-row,
+    zeshel_dataset.py:66-76; we keep the hot path numeric).
+    """
+    n = token_hashes.shape[0]
+    if n < w:
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        w = n  # degrade gracefully: one shingle over everything available
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros(n - w + 1, dtype=np.uint64)
+    for k in range(w):
+        acc = acc * mult + token_hashes[k : n - w + 1 + k]
+    # fold 64 -> 32 bits so the MinHash universal hash gets x < 2^32
+    return (acc ^ (acc >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-permutation hash keys (and xor-tweaks) for keyed-mixer MinHash.
+
+    Each permutation p ranks shingles by ``splitmix64(x ^ key_p)`` — a full
+    64-bit avalanche bijection under a random key, so the per-permutation
+    orderings are effectively independent (a plain ``a*x+b mod p`` family with
+    bounded operands never wraps and degenerates to a monotone map — all
+    permutations then agree on the same argmin and the Jaccard estimator
+    collapses; caught by tests/test_functions.py).
+    """
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    tweaks = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return keys, tweaks
+
+
+def minhash_signatures(
+    shingle_hashes: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_rows, num_perm) uint32 MinHash signatures, batch-vectorized.
+
+    All rows' shingle hashes are concatenated once; each of the num_perm keyed
+    mixers is applied to the whole concatenation and the per-row minimum is
+    taken with ``np.minimum.reduceat`` — one pass of C loops per permutation
+    instead of a Python loop per row.
+    """
+    num_perm = a.shape[0]
+    lens = np.array([h.shape[0] for h in shingle_hashes], dtype=np.int64)
+    n = lens.shape[0]
+    sig = np.full((n, num_perm), 0xFFFFFFFF, dtype=np.uint32)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return sig
+    flat = np.concatenate([h for h in shingle_hashes if h.shape[0] > 0])
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    rows = np.flatnonzero(nonempty)
+    for p in range(num_perm):
+        hp = splitmix64(flat ^ a[p]) + b[p]  # keyed avalanche; +tweak decorrelates further
+        mins = np.minimum.reduceat(hp, offsets)
+        sig[rows, p] = (mins & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return sig
+
+
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_rows, bands) int64 LSH band keys from (n_rows, num_perm) signatures.
+
+    Each band's r signature values are mixed FNV-style; the band index sits in
+    bits 56..62 so keys from different bands never collide. Keys stay below
+    2^63 (int64, non-negative) — see hex16_to_node for why 64-bit unsigned
+    values are banned from keyed/aggregated columns.
+    """
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    assert bands <= 128
+    out = np.empty((n, bands), dtype=np.int64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(bands):
+        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        for k in range(r):
+            h = (h ^ sig[:, j * r + k].astype(np.uint64)) * prime
+        out[:, j] = ((np.uint64(j) << np.uint64(56)) ^ (h >> np.uint64(8))).astype(np.int64)
+    return out
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Fast deterministic uint64 mixer (for salting shard assignment)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))

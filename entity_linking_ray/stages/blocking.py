@@ -1,0 +1,213 @@
+"""MinHash-LSH blocking: band explode → block stats → salted candidate pairs.
+
+Replaces the reference's all-pairs dense score matrix (``np.matmul(me, ee.T)``,
+/root/reference/src/eval_zeshel.py:44 — the scale killer, SURVEY.md §2.4 J3)
+with LSH blocking so only same-block pairs are ever scored.
+
+Scale design (band rows are TINY — (band_key u64, node u64) = 16 bytes — so the
+all-to-all explode ships ~0.5 KB/row at 32 bands, not the multi-KB feature
+payload):
+
+1. **explode**: per rep row, 32 band keys from its 128-perm signature.
+2. **stats pass**: ``groupby(band_key).count+min(node)`` — partial-aggregated
+   shuffle over 16-byte rows. Singleton blocks (the vast majority) are
+   discarded; keys hotter than ``max_block_size`` (vendored libs, license
+   boilerplate) are collected driver-side (hot *distinct keys* are few even
+   when their rows are many).
+3. **salt**: hot keys are re-exploded as ``key ^ shard`` with shard =
+   splitmix(node) % ceil(count/shard_size); the block's representative (min
+   node) is emitted into every shard, so transitive connectivity across shards
+   survives through scored rep↔member pairs — no false merges are possible
+   because every emitted pair is still scored before it can become an edge.
+4. **pair gen**: ``groupby(block_key).map_groups`` over multi-member blocks
+   only; all intra-block pairs (a<b), deduped across bands via
+   ``groupby(src,dst).min(block_key)``.
+
+Membership filtering of band rows uses a broadcast numpy key set (``ray.put``
+once, read per task) when the multi-member key count is small, else a
+hash-shuffle semi-join — both paths implemented, chosen by
+``cfg.broadcast_key_limit``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Min
+
+from ..config import LinkageConfig
+from ..functions.hashing import band_keys, splitmix64
+from .common import safe_join, scrub_empty_blocks
+
+_HOT_COLLECT_LIMIT = 1_000_000
+
+
+def _sig_matrix(sig_col: list[bytes], num_perm: int) -> np.ndarray:
+    return np.frombuffer(b"".join(sig_col), dtype=np.uint32).reshape(-1, num_perm)
+
+
+def explode_bands(reps, cfg: LinkageConfig):
+    """reps (with sig) -> (band_key u64, node u64) rows, 1 per (row, band)."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        sig = _sig_matrix(batch.column("sig").to_pylist(), cfg.num_perm)
+        keys = band_keys(sig, cfg.bands)  # (n, bands)
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        n, b = keys.shape
+        return pa.table(
+            {
+                "band_key": pa.array(keys.ravel()),
+                "node": pa.array(np.repeat(nodes, b)),
+            }
+        )
+
+    return reps.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def block_stats(band_rows, cfg: LinkageConfig | None = None):
+    """groupby(band_key) -> (band_key, n_members, rep_node). A pre-aggregated
+    shuffle over 16-byte rows; this is also the lineage/metrics source for the
+    block-size histogram."""
+    return band_rows.groupby("band_key").aggregate(
+        Count(alias_name="n_members"), Min("node", alias_name="rep_node")
+    )
+
+
+def _collect_hot(stats, cfg: LinkageConfig) -> dict[int, tuple[int, int]]:
+    """Driver-side dict of hot keys {band_key: (count, rep_node)}.
+
+    Hot *distinct* keys are rare by construction (a key is hot because many
+    rows share it); the collect is capped and the overflow falls back to
+    treating extras as normal blocks truncated at pair-gen time.
+    """
+    hot = stats.map_batches(
+        lambda t: t.filter(pc.greater(t["n_members"], cfg.max_block_size)),
+        batch_format="pyarrow",
+    )
+    out: dict[int, tuple[int, int]] = {}
+    for row in hot.take(_HOT_COLLECT_LIMIT):
+        out[int(row["band_key"])] = (int(row["n_members"]), int(row["rep_node"]))
+    return out
+
+
+def filter_and_salt(band_rows, stats, cfg: LinkageConfig):
+    """Keep only multi-member blocks; split hot blocks into salted shards.
+
+    Returns (salted_band_rows, hot_key_count). Salted key layout: hot keys are
+    rewritten to ``splitmix(band_key) ^ (shard+1)`` (re-mixed so shards of one
+    hot key spread across partitions); the rep node is added to every shard.
+    """
+    multi = stats.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_members"], 2)),
+        batch_format="pyarrow",
+    )
+    hot_keys = _collect_hot(stats, cfg)
+    hot_ref = ray.put(hot_keys)
+    n_multi = multi.count()
+
+    if n_multi <= cfg.broadcast_key_limit:
+        keys_np = np.sort(
+            np.array([r["band_key"] for r in multi.take_all()], dtype=np.int64)
+        )
+        keys_ref = ray.put(keys_np)
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            if keys.shape[0] == 0:  # no multi-member blocks at all
+                return batch.slice(0, 0)
+            bk = batch.column("band_key").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, bk)
+            idx[idx >= keys.shape[0]] = 0
+            mask = keys[idx] == bk
+            return batch.filter(pa.array(mask))
+
+        filtered = band_rows.map_batches(_filter, batch_format="pyarrow")
+    else:
+        # scale path: hash-shuffle semi-join on band_key
+        filtered = safe_join(
+            band_rows,
+            multi.select_columns(["band_key"]),
+            join_type="left_semi",
+            num_partitions=cfg.shuffle_partitions,
+            on=("band_key",),
+        )
+
+    shard_size = cfg.salt_shard_size
+
+    mask63 = np.uint64((1 << 63) - 1)
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        bk = batch.column("band_key").to_numpy(zero_copy_only=False)
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        if not hot:
+            return batch
+        hot_mask = np.isin(bk, np.fromiter(hot.keys(), dtype=np.int64))
+        if not hot_mask.any():
+            return batch
+        hk = bk[hot_mask]
+        hn = nodes[hot_mask]
+        extra_k: list[int] = []
+        extra_n: list[int] = []
+        mixed = (splitmix64(hk) & mask63).astype(np.int64)
+        for i in range(hk.shape[0]):
+            count, rep = hot[int(hk[i])]
+            nshards = max(2, -(-count // shard_size))
+            shard = int(splitmix64(np.array([hn[i]], dtype=np.uint64))[0] % np.uint64(nshards))
+            extra_k.append(int(mixed[i]) ^ (shard + 1))
+            extra_n.append(int(hn[i]))
+            if hn[i] == rep:
+                # the rep's source row fans out into every shard
+                for s in range(nshards):
+                    if s != shard:
+                        extra_k.append(int(mixed[i]) ^ (s + 1))
+                        extra_n.append(int(rep))
+        return pa.table(
+            {
+                "band_key": pa.array(
+                    np.concatenate([bk[~hot_mask], np.array(extra_k, dtype=np.int64)])
+                ),
+                "node": pa.array(
+                    np.concatenate([nodes[~hot_mask], np.array(extra_n, dtype=np.int64)])
+                ),
+            }
+        )
+
+    return filtered.map_batches(_salt, batch_format="pyarrow"), len(hot_keys)
+
+
+def candidate_pairs(salted_rows, cfg: LinkageConfig):
+    """groupby(block_key).map_groups -> unique candidate pairs (src < dst).
+
+    Within a block of size s, emits all s*(s-1)/2 pairs, truncating at
+    max_block_size members per (already salted) block as a hard guard. Pair
+    dedup across bands = groupby(src, dst).min(block_key) — an aggregate, not
+    per-group Python.
+    """
+    cap = cfg.max_block_size
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(g["node"].to_numpy(dtype=np.int64))
+        if nodes.shape[0] < 2:
+            return pd.DataFrame({"src": [], "dst": [], "block_key": []}).astype(
+                {"src": np.int64, "dst": np.int64, "block_key": np.int64}
+            )
+        if nodes.shape[0] > cap:
+            nodes = nodes[:cap]  # deterministic (sorted) guard; salting should prevent this
+        i, j = np.triu_indices(nodes.shape[0], k=1)
+        return pd.DataFrame(
+            {
+                "src": nodes[i],
+                "dst": nodes[j],
+                "block_key": np.full(i.shape[0], g["band_key"].iloc[0], dtype=np.int64),
+            }
+        )
+
+    pairs = salted_rows.groupby("band_key").map_groups(_pairs, batch_format="pandas")
+    return scrub_empty_blocks(
+        pairs.groupby(["src", "dst"]).aggregate(Min("block_key", alias_name="block_key"))
+    )

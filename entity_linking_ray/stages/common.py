@@ -1,0 +1,35 @@
+"""Shared stage utilities."""
+
+from __future__ import annotations
+
+
+def scrub_empty_blocks(ds, batch_size: int = 65536):
+    """Work around a Ray Data 2.49 artifact: groupby-aggregate outputs fed by
+    unions/joins can contain zero-column EMPTY blocks (``schema=[]``), and a
+    downstream hash-shuffle join then fails inside Arrow acero with
+    "No match or multiple matches for key field reference".
+
+    An identity ``map_batches`` with an explicit ``batch_size`` re-batches
+    across blocks and skips the degenerate empties (without ``batch_size`` Ray
+    maps block->block 1:1 and the empty blocks survive). Apply to any
+    aggregate output that feeds a join.
+    """
+    return ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=batch_size)
+
+
+def safe_join(left, right, join_type: str, num_partitions: int, on, right_on=None):
+    """``Dataset.join`` with both inputs scrubbed of degenerate empty blocks.
+
+    Ray 2.49's hash-shuffle join crashes ("No match or multiple matches for
+    key field reference ...") whenever an input contains the zero-column empty
+    blocks that join/aggregate outputs can emit. Every join in this package
+    goes through here; the scrub is one extra zero-copy-ish identity pass per
+    side.
+    """
+    return scrub_empty_blocks(left).join(
+        scrub_empty_blocks(right),
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )

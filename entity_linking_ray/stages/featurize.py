@@ -1,0 +1,90 @@
+"""Featurization: content -> (MinHash signature, embedding, token prefix).
+
+The heavy stateful stage — an actor-pool ``map_batches`` callable class. Per
+actor ``__init__`` builds the encoder weights and MinHash coefficients ONCE
+(the analog of loading the bi-encoder checkpoint once per process,
+/root/reference/src/compute_embeddings.py:46-52) and keeps a bounded
+sha256-keyed feature cache (the north star's "cached candidate embeddings"):
+exact-duplicate content — rampant in code corpora — featurizes once per actor.
+
+``content`` is DROPPED on output: downstream shuffles move only
+(row_id, node, sha256, sig, emb, tokseq) — ~2 KB/row instead of multi-MB files
+(SURVEY.md §7.3 "wide rows").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import LinkageConfig
+from ..functions.hashing import minhash_params, minhash_signatures, rolling_shingle_hashes
+from ..functions.text import token_hashes
+from .encoder import build_encoder
+
+_CACHE_MAX = 65536
+
+
+class FeaturizeStage:
+    """Actor-pool callable: pa.Table in -> pa.Table out (content dropped)."""
+
+    def __init__(self, cfg: LinkageConfig):
+        self.cfg = cfg
+        self.encoder = build_encoder(cfg.encoder, dim=cfg.embed_dim, seed=cfg.seed)
+        self.a, self.b = minhash_params(cfg.num_perm, cfg.seed)
+        self._cache: dict[str, tuple[bytes, np.ndarray, bytes, int]] = {}
+
+    def _features_for(self, content: str) -> tuple[bytes, np.ndarray, bytes, int]:
+        th = token_hashes(content)
+        sh = rolling_shingle_hashes(th, self.cfg.shingle_w)
+        if sh.shape[0] == 0:
+            # degenerate short content: one pseudo-shingle over the whole text
+            sh = (th[:1] if th.shape[0] else np.zeros(1, dtype=np.uint64)) & np.uint64(0xFFFFFFFF)
+        sig = minhash_signatures([sh], self.a, self.b)[0]
+        emb = self.encoder.embed_token_hashes([th])[0]
+        tokseq = th[: self.cfg.tokseq_cap].astype(np.uint32).tobytes()
+        return sig.tobytes(), emb, tokseq, int(th.shape[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch.column("content").to_pylist()
+        shas = batch.column("sha256").to_pylist()
+        sigs: list[bytes] = []
+        embs = np.empty((len(contents), self.cfg.embed_dim), dtype=np.float32)
+        tokseqs: list[bytes] = []
+        ntoks = np.empty(len(contents), dtype=np.int32)
+        for i, (sha, content) in enumerate(zip(shas, contents)):
+            feats = self._cache.get(sha)
+            if feats is None:
+                feats = self._features_for(content)
+                if len(self._cache) < _CACHE_MAX:
+                    self._cache[sha] = feats
+            sigs.append(feats[0])
+            embs[i] = feats[1]
+            tokseqs.append(feats[2])
+            ntoks[i] = feats[3]
+        keep = [c for c in batch.column_names if c != "content"]
+        out = batch.select(keep)
+        out = out.append_column("sig", pa.array(sigs, type=pa.binary()))
+        # emb stored as raw float32 bytes: Arrow acero hash joins reject
+        # FixedSizeList payload columns, and binary round-trips zero-copy
+        emb_bytes = [embs[i].tobytes() for i in range(len(contents))]
+        out = out.append_column("emb", pa.array(emb_bytes, type=pa.binary()))
+        out = out.append_column("tokseq", pa.array(tokseqs, type=pa.binary()))
+        out = out.append_column("n_tokens", pa.array(ntoks))
+        return out
+
+
+def featurize(ds, cfg: LinkageConfig):
+    """Attach features via an actor pool (fn_constructor_args keeps cfg on the
+    actor, not re-shipped per batch)."""
+    return ds.map_batches(
+        FeaturizeStage,
+        batch_format="pyarrow",
+        batch_size=cfg.featurize_batch_size,
+        fn_constructor_args=(cfg,),
+        num_cpus=1,
+        # autoscaling actor pool; min 1 so tiny test sessions work, max sized
+        # for one actor per core on a bench node (leaves headroom for the
+        # read/write stages — see guide on pool starvation)
+        concurrency=cfg.featurize_concurrency or (1, 24),
+    )

@@ -1,0 +1,146 @@
+"""Stage-level unit tests: fingerprint, featurize, exact collapse, blocking
+(incl. hot-block salting), pair scoring, connected components."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from entity_linking_ray.config import LinkageConfig
+from entity_linking_ray.stages.blocking import (
+    block_stats,
+    candidate_pairs,
+    explode_bands,
+    filter_and_salt,
+)
+from entity_linking_ray.stages.cluster import connected_components
+from entity_linking_ray.stages.exact import exact_collapse
+from entity_linking_ray.stages.featurize import FeaturizeStage, featurize
+from entity_linking_ray.stages.fingerprint import fingerprint
+
+CFG = LinkageConfig(shuffle_partitions=4)
+
+
+def _corpus_tbl(rows):
+    return pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array(["0" * 40 for _ in rows]),
+            "lang": pa.array(["py" for _ in rows]),
+            "content": pa.array([r[2] for r in rows]),
+        }
+    )
+
+
+def test_fingerprint_columns_and_determinism():
+    t = _corpus_tbl([("r1", "a.py", "x = 1"), ("r2", "b.py", "x = 1")])
+    out = fingerprint(rd.from_arrow(t)).take_all()
+    assert {r["sha256"] for r in out} == {out[0]["sha256"]}  # same content, same sha
+    assert out[0]["row_id"] != out[1]["row_id"]  # different key, different id
+    assert all(r["node"] >= 0 for r in out)
+
+
+def test_featurize_stage_drops_content_and_caches():
+    cfg = LinkageConfig()
+    stage = FeaturizeStage(cfg)
+    t = fingerprint(
+        rd.from_arrow(_corpus_tbl([("r1", "a.py", "def f(x):\n  return x + 1\n" * 10)]))
+    ).take_all()
+    batch = pa.table({k: [v] for k, v in t[0].items()})
+    out = stage(batch)
+    assert "content" not in out.column_names
+    assert len(out.column("sig")[0].as_py()) == cfg.num_perm * 4
+    assert len(out.column("emb")[0].as_py()) == cfg.embed_dim * 4
+    # identical content hits the sha-keyed cache -> identical features
+    out2 = stage(batch)
+    assert out.column("sig").to_pylist() == out2.column("sig").to_pylist()
+
+
+def test_exact_collapse_reps_and_edges():
+    t = _corpus_tbl(
+        [("r1", "a.py", "same"), ("r2", "b.py", "same"), ("r3", "c.py", "other")]
+    )
+    feats = featurize(fingerprint(rd.from_arrow(t)), CFG).materialize()
+    tagged, reps, edges = exact_collapse(feats, CFG)
+    assert reps.count() == 2  # two distinct contents
+    e = edges.take_all()
+    assert len(e) == 1 and e[0]["kind"] == "exact" and e[0]["score"] == 1.0
+
+
+def test_blocking_identical_rows_collide():
+    content = "def f(a, b):\n  return a * b + a - b\n" * 8
+    t = _corpus_tbl([("r1", "a.py", content), ("r2", "b.py", content + "\n# x")])
+    feats = featurize(fingerprint(rd.from_arrow(t)), CFG).materialize()
+    band_rows = explode_bands(feats, CFG).materialize()
+    assert band_rows.count() == 2 * CFG.bands
+    stats = block_stats(band_rows).materialize()
+    # near-identical rows share nearly all bands -> most blocks have 2 members
+    sizes = [r["n_members"] for r in stats.take_all()]
+    assert max(sizes) == 2 and sizes.count(2) >= CFG.bands // 2
+
+
+def test_salting_splits_hot_block_and_keeps_rep():
+    cfg = LinkageConfig(shuffle_partitions=4, max_block_size=8, salt_shard_size=4)
+    # 30 near-identical rows (distinct contents) -> hot blocks
+    rows = [("r%d" % i, "f%d.py" % i, "def g(x):\n  return x * 2\n" * 6 + f"# v{i}") for i in range(30)]
+    feats = featurize(fingerprint(rd.from_arrow(_corpus_tbl(rows))), cfg).materialize()
+    band_rows = explode_bands(feats, cfg).materialize()
+    stats = block_stats(band_rows).materialize()
+    hot_exists = any(r["n_members"] > cfg.max_block_size for r in stats.take_all())
+    assert hot_exists, "test corpus failed to create a hot block"
+    salted, n_hot = filter_and_salt(band_rows, stats, cfg)
+    salted = salted.materialize()
+    assert n_hot > 0
+    out_stats = block_stats(salted).materialize()
+    sizes = {r["band_key"]: r["n_members"] for r in out_stats.take_all()}
+    # salted shards stay near shard_size (hash variance allowed; the hard
+    # guarantee is candidate_pairs' per-block cap), far below the hot size 30
+    assert max(sizes.values()) <= cfg.max_block_size * 2
+    # connectivity: pairs must still link all 30 rows transitively via reps
+    pairs = candidate_pairs(salted, cfg).materialize()
+    import collections
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.take_all():
+        parent[find(r["src"])] = find(r["dst"])
+    nodes = [r["node"] for r in feats.take_all()]
+    roots = {find(n) for n in nodes}
+    assert len(roots) == 1, f"salting broke block connectivity: {len(roots)} comps"
+
+
+def test_candidate_pairs_unique_and_ordered():
+    content = "def f(a):\n  return a + 1\n" * 8
+    rows = [("r%d" % i, "f%d.py" % i, content + f"# {i}") for i in range(4)]
+    feats = featurize(fingerprint(rd.from_arrow(_corpus_tbl(rows))), CFG).materialize()
+    band_rows = explode_bands(feats, CFG).materialize()
+    stats = block_stats(band_rows).materialize()
+    salted, _ = filter_and_salt(band_rows, stats, CFG)
+    pairs = candidate_pairs(salted, CFG).take_all()
+    seen = set()
+    for r in pairs:
+        assert r["src"] < r["dst"]
+        assert (r["src"], r["dst"]) not in seen
+        seen.add((r["src"], r["dst"]))
+    assert len(pairs) == 6  # all 4-choose-2 near-dup pairs survive band dedup
+
+
+def test_connected_components_chain_and_star():
+    edges = pa.table(
+        {
+            "src": pa.array([10, 20, 30, 100, 100], type=pa.int64()),
+            "dst": pa.array([20, 30, 40, 101, 102], type=pa.int64()),
+        }
+    )
+    out = connected_components(rd.from_arrow(edges), CFG).take_all()
+    labels = {r["node"]: r["cluster"] for r in out}
+    assert labels[10] == labels[20] == labels[30] == labels[40] == 10
+    assert labels[100] == labels[101] == labels[102] == 100
