@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     — flagship record-linkage pipeline over the sf0.001
+                    documents table mapped onto the (repo, path, commit, lang,
+                    content) corpus shape (BASELINE.json input_hint).
+- ``queries()``   — one callable per implemented operator/pipeline from
+                    SURVEY.md §2 plus the training-data-pipeline additions.
+- ``oracle_sql()``— DuckDB-equivalent SQL for every SQL-expressible query;
+                    non-SQL ops (MinHash LSH, simhash, langid, the full
+                    linkage pipeline) are omitted -> rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +20,46 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents -> corpus ->
+    fingerprint -> LSH blocking -> scoring -> union-find -> clusters."""
+    import ray.data
+
+    from entity_linking_ray.config import LinkageConfig
+    from entity_linking_ray.pipelines.linkage import link_dataset
+    from entity_linking_ray.sources.synthetic import corpus_from_documents
+    from entity_linking_ray.stages.common import default_partitions
+
+    corpus = ray.data.from_arrow(corpus_from_documents("/root/testdata/sf0.001"))
+    return link_dataset(corpus, LinkageConfig(shuffle_partitions=default_partitions(8)))
+
+
+def _linkage_clusters(sf_dir: str):
+    """Full linkage pipeline over the documents-derived corpus (rows-only:
+    MinHash/LSH blocking keys are not SQL-expressible)."""
+    import ray.data
+
+    from entity_linking_ray.config import LinkageConfig
+    from entity_linking_ray.pipelines.linkage import link_dataset
+    from entity_linking_ray.sources.synthetic import corpus_from_documents
+    from entity_linking_ray.stages.common import default_partitions
+
+    corpus = ray.data.from_arrow(corpus_from_documents(sf_dir))
+    out = link_dataset(corpus, LinkageConfig(shuffle_partitions=default_partitions(16)))
+    return out.map_batches(
+        lambda t: t.select(["row_id", "sha256", "cluster"]),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entity_linking_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out["linkage_clusters"] = _linkage_clusters
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entity_linking_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

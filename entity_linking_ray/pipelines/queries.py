@@ -1,0 +1,978 @@
+"""Operator-suite queries over the driver test tables, with DuckDB oracles.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pyarrow Table;
+``ORACLE_SQL`` carries the ANSI-SQL equivalent DuckDB runs on the same parquet
+views. Column names match EXACTLY between both sides (the driver hashes values
+under sorted column names); floats are rounded identically (4 or 6 dp) on both
+sides.
+
+Coverage map to SURVEY.md §2 (reference file:line cited per query):
+  sources/sinks S1-S5 (read_parquet w/ pruning everywhere), M3/J1 broadcast
+  join, M4/D1 exact dedup, M5/A3 semi join, D2 union, M7/O2 limit, M8
+  normalizers, A1/A2 aggregates, O1 top-k, J3 dense scoring (ANN brute force),
+  plus the training-data-pipeline additions (token stats, quality, langid,
+  minhash near-dup, simhash, fingerprints, windowed aggregates, as-of join,
+  distributed connected components).
+
+All pipelines stream: the only driver-side materializations are small
+broadcast sides (dimension tables / query matrices) shipped once via
+``ray.put``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..config import LinkageConfig
+from ..functions.hashing import sha256_hex
+from ..stages.common import safe_join, scrub_empty_blocks
+
+NPART = 16
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pc.round(t.column(col).cast(pa.float64()), ndigits=nd))
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """DuckDB round() semantics (half away from zero) for non-negative values.
+    Python's round() is half-to-even; ratios with power-of-two denominators
+    (e.g. 1/32 = 0.03125) land exactly on 4-dp midpoints and flip between the
+    two rules, so oracle-compared Python-side rounding must use this."""
+    import math
+
+    p = 10 ** nd
+    return math.floor(x * p + 0.5) / p
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row integer cents: float sums are order-dependent at the 1e-4 level
+    on 1e8-magnitude totals, so every money/value column is rounded to cents
+    PER ROW (both engines compute the identical double, so identical cents)
+    and summed exactly in int64. The oracle SQL mirrors this."""
+    return pc.round(
+        pc.multiply(arr.cast(pa.float64()), pa.scalar(100.0)),
+        ndigits=0,
+        round_mode="half_towards_infinity",  # DuckDB round() = half away from zero
+    ).cast(pa.int64())
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shape grouped aggregate (A1/A2 analogs: eval_zeshel.py:38-53
+    reduces per-row flags to global rates; here sums/means per group).
+    Pre-aggregation happens inside Ray's hash aggregate; money columns use the
+    exact integer-cents pattern (see _cents)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": _cents(t["l_quantity"]),
+            "price_c": _cents(t["l_extendedprice"]),
+            "disc_c": _cents(disc),
+        })
+
+    out = (
+        ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("count_order").cast(pa.float64())
+        qty = pc.divide(t.column("qty_c").cast(pa.float64()), pa.scalar(100.0))
+        price = pc.divide(t.column("price_c").cast(pa.float64()), pa.scalar(100.0))
+        dscp = pc.divide(t.column("disc_c").cast(pa.float64()), pa.scalar(100.0))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.round(qty, ndigits=2),
+            "sum_base_price": pc.round(price, ndigits=2),
+            "sum_disc_price": pc.round(dscp, ndigits=2),
+            "avg_qty": pc.round(pc.divide(qty, n), ndigits=4),
+            "avg_price": pc.round(pc.divide(price, n), ndigits=4),
+            "count_order": t["count_order"],
+        })
+
+    return scrub_empty_blocks(out).map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """Hash join lineitem ⋈ orders + grouped revenue + global top-10
+    (O1 top-k analog of eval_zeshel.py:49, made deterministic on ties)."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _cents(r)})
+
+    per_order = (
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    joined = safe_join(
+        scrub_empty_blocks(per_order), orders, join_type="inner",
+        num_partitions=NPART, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    top = joined.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(10)
+    return scrub_empty_blocks(top).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "revenue": pc.round(
+                pc.divide(t.column("rev_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast hash join (M3/J1: transform_zeshel.py:12-14 joins mentions to
+    the in-RAM corpus dict): customer dim is ray.put once, looked up per batch."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_tbl = pa.concat_tables([ray.get(r) for r in cust.to_arrow_refs()])
+    keys = cust_tbl.column("c_custkey").to_numpy()
+    order_ = np.argsort(keys)
+    lut_ref = ray.put((keys[order_], cust_tbl.column("c_nationkey").to_numpy()[order_]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        k, v = ray.get(lut_ref)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, ck)
+        idx[idx >= k.shape[0]] = 0
+        hit = k[idx] == ck
+        nat = np.where(hit, v[idx], -1)
+        out = pa.table({
+            "c_nationkey": pa.array(nat.astype(np.int32)),
+            "price_c": _cents(t["o_totalprice"]),
+        })
+        return out.filter(pa.array(hit))
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    )
+    return scrub_empty_blocks(out).map_batches(
+        lambda t: pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "n_orders": t["n_orders"],
+            "total_price": pc.round(
+                pc.divide(t.column("price_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi join via broadcast key set (M5/A3: split-overlap audit,
+    transform_zeshel.py:69-74)."""
+    custkeys = np.sort(np.unique(np.concatenate([
+        ray.get(r).column("o_custkey").to_numpy()
+        for r in _t(sf_dir, "orders", ["o_custkey"]).to_arrow_refs()
+    ])))
+    ref = ray.put(custkeys)
+
+    def semi(t: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, ck)
+        idx[idx >= k.shape[0]] = 0
+        return t.filter(pa.array(k[idx] == ck))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = cust.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+    return scrub_empty_blocks(out)
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join via a broadcast key set: customers with no high-value
+    (>300k) order. (Plain 'no orders at all' is empty at every sf — an empty
+    result loses its schema through pandas and can't be compared.)"""
+    def _keys(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["o_totalprice"], 300000.0))
+        return f.select(["o_custkey"])
+
+    key_ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        _keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    custkeys = np.sort(np.unique(np.concatenate([
+        ray.get(r).column("o_custkey").to_numpy()
+        for r in key_ds.to_arrow_refs()
+    ])))
+    ref = ray.put(custkeys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        k = ray.get(ref)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, ck)
+        idx[idx >= k.shape[0]] = 0
+        return t.filter(pa.array(k[idx] != ck))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(lambda t: _round_col(t, "c_acctbal", 4), batch_format="pyarrow")
+
+
+def q_per_group_topk(sf_dir: str):
+    """Per-key top-k (O1: argsort-desc-slice per row, eval_zeshel.py:49) as
+    groupby.map_groups with deterministic tie-break."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(2)
+        g = g.copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["o_totalprice"] = g["o_totalprice"].round(4)
+        return g
+
+    return orders.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+def q_sort_lineitem(sf_dir: str):
+    """Global sort + limit (no sort exists in the reference — SURVEY §2.6)."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = li.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(1000)
+    return out.map_batches(lambda t: _round_col(t, "l_extendedprice", 4), batch_format="pyarrow")
+
+
+def q_distinct_flag_status(sf_dir: str):
+    """Distinct + counts (D-ops)."""
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return scrub_empty_blocks(
+        li.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="n"))
+    )
+
+
+def q_union_limit(sf_dir: str):
+    """Union + deterministic limit (D2 union transform_zeshel.py:76-82; M7
+    head-sample :59 made deterministic by sorting first)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    en = docs.map_batches(lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow")
+    de = docs.map_batches(lambda t: t.filter(pc.equal(t["lang"], "de")), batch_format="pyarrow")
+    return en.union(de).sort("doc_id").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped: windowed aggregate + as-of join over events
+# ---------------------------------------------------------------------------
+
+
+def q_windowed_events(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + sum(value). Windows are
+    plain group keys (floor_temporal) — partial aggregation inside the hash
+    aggregate keeps the shuffle small."""
+    ev = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({
+            "window_start": w,
+            "event_type": t["event_type"],
+            "value_c": _cents(t["value"]),
+        })
+
+    out = (
+        ev.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+    )
+    return scrub_empty_blocks(out).map_batches(
+        lambda t: pa.table({
+            "window_start": t["window_start"],
+            "event_type": t["event_type"],
+            "n_events": t["n_events"],
+            "sum_value": pc.round(
+                pc.divide(t.column("value_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_asof_events_orders(sf_dir: str):
+    """As-of join: each event matched to the latest order (by o_orderdate) of
+    customer == user_id. Orders are first deduped to one per (custkey, date)
+    (max orderkey) so the as-of pick is deterministic; the small orders side is
+    broadcast once and each event batch runs a vectorized merge_asof."""
+    odf = pa.concat_tables([
+        ray.get(r) for r in _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]).to_arrow_refs()
+    ]).to_pandas()
+    odf = (
+        odf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .last()  # max o_orderkey per (cust, date)
+        .sort_values("o_orderdate", kind="mergesort")
+    )
+    ref = ray.put(odf)
+
+    def asof(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(ref)
+        left = batch.sort_values("ts", kind="mergesort")
+        m = pd.merge_asof(
+            left, right, left_on="ts", right_on="o_orderdate",
+            left_by="user_id", right_by="o_custkey", direction="backward",
+        )
+        return pd.DataFrame({
+            "event_id": m["event_id"],
+            "o_orderkey": m["o_orderkey"].astype("Int64"),
+        })
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ev.map_batches(asof, batch_format="pandas", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup suite over documents
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_documents_exact(sf_dir: str):
+    """Exact dedup by sha256 (D1: transform_zeshel.py:29-31 dict-insertion
+    dedup; here groupby-min, the distributed equivalent)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def sha(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sha256": pa.array(sha256_hex(t.column("text").to_pylist())),
+        })
+
+    out = docs.map_batches(sha, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("sha256").aggregate(Min("doc_id", alias_name="keeper_doc_id"),
+                                     Count(alias_name="n_copies"))
+    return scrub_empty_blocks(out)
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting (M9 whitespace-split analog zeshel_dataset.py:66, made
+    regex-precise so the SQL oracle matches)."""
+    import re
+
+    word = re.compile(r"[A-Za-z0-9_]+")
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ntok = [len(word.findall(s)) for s in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(ntok, type=pa.int64()),
+            "n_chars2": pc.utf8_length(t["text"]).cast(pa.int64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality_score(sf_dir: str):
+    """Quality scoring (length / word-length / alpha ratio) — the text-quality
+    op a training-data pipeline runs before filtering."""
+    import re
+
+    word = re.compile(r"[A-Za-z0-9_]+")
+    nonword = re.compile(r"[^A-Za-z0-9_]")
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def qual(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_words, avg_wl, alpha_ratio = [], [], []
+        for s in texts:
+            ws = word.findall(s)
+            n_words.append(len(ws))
+            wchars = len(nonword.sub("", s))
+            avg_wl.append(_round_half_up(wchars / len(ws), 4) if ws else 0.0)
+            alpha_ratio.append(_round_half_up(wchars / len(s), 4) if s else 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "avg_word_len": pa.array(avg_wl, type=pa.float64()),
+            "word_char_ratio": pa.array(alpha_ratio, type=pa.float64()),
+        })
+
+    return docs.map_batches(qual, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "de", "des", "un", "une", "dans"},
+    "es": {"el", "la", "los", "las", "y", "es", "de", "un", "una", "en"},
+}
+
+
+class LangId:
+    """Language-ID heuristic (stopword hit-rate per language; zh falls back to
+    CJK codepoint ratio). Stateful stage: tables compiled once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(r"[a-zäöüéèêàûîç]+")
+        self.cjk = re.compile(r"[一-鿿]")
+        self.stop = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        preds = []
+        for s in texts:
+            low = s.lower()
+            if len(self.cjk.findall(low)) >= 5:
+                preds.append("zh")
+                continue
+            toks = self.word.findall(low)
+            best, best_n = "en", -1
+            for lang, sw in sorted(self.stop.items()):
+                n = sum(1 for w in toks if w in sw)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds)})
+
+
+def q_langid(sf_dir: str):
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_langid_accuracy(sf_dir: str):
+    """Aggregate accuracy of the langid heuristic vs the labeled lang column
+    (rows-only check; the heuristic itself is not SQL)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class Acc(LangId):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pred = super().__call__(t)
+            hit = pc.equal(pred["lang_pred"], t["lang"])
+            return pa.table({
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "hits": pa.array([pc.sum(hit.cast(pa.int64())).as_py() or 0], type=pa.int64()),
+            })
+
+    flags = docs.map_batches(Acc, batch_format="pyarrow", concurrency=(1, 4))
+    n = flags.sum("n")
+    h = flags.sum("hits")
+    return pa.table({"n_docs": pa.array([n], type=pa.int64()),
+                     "accuracy": pa.array([round(h / max(1, n), 4)], type=pa.float64())})
+
+
+def q_simhash(sf_dir: str):
+    """SimHash fingerprints (near-dup sketch #2; 63-bit to stay int64-safe)."""
+    from ..functions.similarity import simhash64
+    from ..functions.text import token_hashes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def sh(t: pa.Table) -> pa.Table:
+        vals = [simhash64(token_hashes(s)) & ((1 << 63) - 1) for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(vals, type=pa.int64())})
+
+    return docs.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Winnowing-style fingerprints: count of selected rolling-hash minima per
+    doc (document fingerprinting op; window=8, shingle=4)."""
+    from ..functions.hashing import rolling_shingle_hashes
+    from ..functions.text import token_hashes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        counts = []
+        for s in t.column("text").to_pylist():
+            sh = rolling_shingle_hashes(token_hashes(s), 4)
+            if sh.shape[0] == 0:
+                counts.append(0)
+                continue
+            w = 8
+            if sh.shape[0] <= w:
+                counts.append(1)
+                continue
+            view = np.lib.stride_tricks.sliding_window_view(sh, w)
+            mins = view.min(axis=1)
+            pos = view.argmin(axis=1) + np.arange(view.shape[0])
+            counts.append(int(np.unique(pos).shape[0]))
+        return pa.table({"doc_id": t["doc_id"], "n_fingerprints": pa.array(counts, type=pa.int64())})
+
+    return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_minhash_near_dup(sf_dir: str):
+    """MinHash-LSH near-dup candidates over documents.text with exact
+    token-set Jaccard verification (the near-dedup op; rows-only check —
+    MinHash is not SQL-expressible)."""
+    from ..functions.hashing import band_keys, minhash_params, minhash_signatures, rolling_shingle_hashes
+    from ..functions.text import token_hashes
+
+    cfg = LinkageConfig()
+    a, b = minhash_params(cfg.num_perm, cfg.seed)
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        shs = []
+        for s in t.column("text").to_pylist():
+            sh = rolling_shingle_hashes(token_hashes(s), 3)
+            shs.append(sh if sh.shape[0] else np.zeros(1, dtype=np.uint64))
+        sig = minhash_signatures(shs, a, b)
+        keys = band_keys(sig, cfg.bands)
+        ids = t.column("doc_id").to_numpy()
+        n, nb = keys.shape
+        return pa.table({
+            "band_key": pa.array(keys.ravel()),
+            "doc_id": pa.array(np.repeat(ids, nb)),
+        })
+
+    band_rows = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.shape[0] < 2 or ids.shape[0] > 64:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        i, j = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+
+    cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    cand = scrub_empty_blocks(
+        cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    )
+
+    texts = {}
+    for r in _t(sf_dir, "documents", ["doc_id", "text"]).to_arrow_refs():
+        tt = ray.get(r)
+        texts.update(zip(tt.column("doc_id").to_pylist(), tt.column("text").to_pylist()))
+    tref = ray.put(texts)
+
+    def verify(t: pa.Table) -> pa.Table:
+        from ..functions.text import token_hashes as th
+
+        tx = ray.get(tref)
+        da = t.column("doc_a").to_pylist()
+        db = t.column("doc_b").to_pylist()
+        jac = []
+        for x, y in zip(da, db):
+            s1 = set(rolling_shingle_hashes(th(tx[x]), 3).tolist())
+            s2 = set(rolling_shingle_hashes(th(tx[y]), 3).tolist())
+            jac.append(round(len(s1 & s2) / max(1, len(s1 | s2)), 4))
+        out = pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+            "jaccard": pa.array(jac, type=pa.float64()),
+        })
+        return out.filter(pc.greater_equal(out["jaccard"], 0.3))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: brute-force ANN, near-dup, retrieval rate (A1 analog)
+# ---------------------------------------------------------------------------
+
+
+def _emb_matrix(sf_dir: str):
+    tbl = pa.concat_tables([
+        ray.get(r) for r in _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).to_arrow_refs()
+    ])
+    ids = tbl.column("vec_id").to_numpy()
+    emb = np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+    labels = tbl.column("label").to_numpy()
+    order = np.argsort(ids)
+    return ids[order], emb[order], labels[order]
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors (J3 dense scoring
+    eval_zeshel.py:44 + O1 top-k :49, streamed: candidate matrix broadcast
+    once, queries scored per batch). Rank by round(cos,6) desc, vec_id asc."""
+    ids, emb, _ = _emb_matrix(sf_dir)
+    norms = np.linalg.norm(emb, axis=1)
+    ref = ray.put((ids, emb, norms))
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 20)), batch_format="pyarrow"
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        cids, cemb, cnorms = ray.get(ref)
+        q = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        qids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        qnorm = np.linalg.norm(q, axis=1)
+        cos = (q @ cemb.T) / np.maximum(qnorm[:, None] * cnorms[None, :], 1e-300)
+        cos = np.round(cos, 6)
+        cos[cids[None, :] == qids[:, None]] = -np.inf  # exclude self
+        out_q, out_n, out_r, out_c = [], [], [], []
+        for i in range(q.shape[0]):
+            order = np.lexsort((cids, -cos[i]))[:10]
+            out_q.extend([int(qids[i])] * 10)
+            out_n.extend(cids[order].tolist())
+            out_r.extend(range(1, 11))
+            out_c.extend(cos[i][order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "cos": pa.array(out_c, type=pa.float64()),
+        })
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs within the same label bucket
+    (cos >= 0.35 — the synthetic embeddings are near-orthogonal, so the "near-dup" threshold is scaled to the data). Label acts as the blocking key; per-block matmul."""
+    docs = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cos = np.round(m @ m.T, 6)
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = cos[i, j] >= 0.35
+        return pd.DataFrame({
+            "vec_a": ids[i[keep]].astype(np.int64),
+            "vec_b": ids[j[keep]].astype(np.int64),
+        })
+
+    return docs.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+def q_retrieval_rate(sf_dir: str):
+    """The reference's headline aggregate (A1, eval_zeshel.py:38-53): fraction
+    of query vectors whose top-k (cosine, self excluded) contains a same-label
+    vector, for k in {1,4,8,16,32,64}. Candidates broadcast once; queries
+    stream through batched matmul (the np.matmul at eval_zeshel.py:44)."""
+    ids, emb, labels = _emb_matrix(sf_dir)
+    norms = np.maximum(np.linalg.norm(emb, axis=1), 1e-300)
+    ref = ray.put((ids, emb, norms, labels))
+    ks = (1, 4, 8, 16, 32, 64)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v % 10 == 0))
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).map_batches(
+        _pick, batch_format="pyarrow"
+    )
+
+    def hits(t: pa.Table) -> pa.Table:
+        cids, cemb, cnorms, clabels = ray.get(ref)
+        q = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        qids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        qlabels = t.column("label").to_numpy(zero_copy_only=False)
+        cos = (q @ cemb.T) / (np.maximum(np.linalg.norm(q, axis=1), 1e-300)[:, None] * cnorms[None, :])
+        cos = np.round(cos, 6)
+        cos[cids[None, :] == qids[:, None]] = -np.inf
+        out = {"n": pa.array([q.shape[0]], type=pa.int64())}
+        maxk = max(ks)
+        order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)[:, :maxk]
+        top_labels = clabels[order]
+        for k in ks:
+            hit = (top_labels[:, :k] == qlabels[:, None]).any(axis=1)
+            out[f"hits_{k}"] = pa.array([int(hit.sum())], type=pa.int64())
+        return pa.table(out)
+
+    flags = ds.map_batches(hits, batch_format="pyarrow")
+    n = flags.sum("n")
+    rows = {"k": pa.array(list(ks), type=pa.int64()),
+            "rate": pa.array([_round_half_up(flags.sum(f"hits_{k}") / max(1, n), 4) for k in ks],
+                             type=pa.float64())}
+    return pa.table(rows)
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components with a recursive-SQL oracle
+# ---------------------------------------------------------------------------
+
+
+def q_cc_documents(sf_dir: str):
+    """Connected components over a SQL-expressible similarity graph:
+    edge(a, b) iff same lang and |n_chars diff| <= 2. Edges are generated with
+    a bucketed band join (each doc probes 3 adjacent buckets — the same
+    blocking idea as LSH bands), components via the engine's iterative
+    min-label propagation; the oracle is a recursive CTE. Directly validates
+    the distributed union-find against SQL."""
+    from ..stages.cluster import connected_components
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    B = 4
+
+    def left_keys(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_pylist()
+        key = [f"{l}:{v // B}" for l, v in zip(lang, nc)]
+        return pa.table({"bkey": pa.array(key), "a_id": t["doc_id"], "a_n": t["n_chars"]})
+
+    def right_keys(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = t.column("lang").to_pylist()
+        keys, ids, ns = [], [], []
+        for l, v, d in zip(lang, nc, t.column("doc_id").to_pylist()):
+            for off in (-1, 0, 1):
+                keys.append(f"{l}:{v // B + off}")
+                ids.append(d)
+                ns.append(int(v))
+        return pa.table({
+            "bkey": pa.array(keys),
+            "b_id": pa.array(ids, type=pa.int64()),
+            "b_n": pa.array(ns, type=pa.int64()),
+        })
+
+    la = docs.map_batches(left_keys, batch_format="pyarrow", zero_copy_batch=True)
+    rb = docs.map_batches(right_keys, batch_format="pyarrow", zero_copy_batch=True)
+    joined = safe_join(la, rb, join_type="inner", num_partitions=NPART, on=("bkey",))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a_id").to_numpy(zero_copy_only=False)
+        b = t.column("b_id").to_numpy(zero_copy_only=False)
+        an = t.column("a_n").to_numpy(zero_copy_only=False)
+        bn = t.column("b_n").to_numpy(zero_copy_only=False)
+        keep = (a < b) & (np.abs(an - bn) <= 2)
+        return pa.table({
+            "src": pa.array(a[keep].astype(np.int64)),
+            "dst": pa.array(b[keep].astype(np.int64)),
+        })
+
+    edges = joined.map_batches(to_edges, batch_format="pyarrow")
+    comps = connected_components(edges, LinkageConfig(shuffle_partitions=NPART))
+
+    # attach singletons: docs with no qualifying edge cluster to themselves
+    all_docs = docs.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    out = safe_join(all_docs, comps, join_type="left_outer", num_partitions=NPART, on=("node",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["node"],
+            "component": pc.coalesce(t["cluster"], t["node"]),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB; views pre-registered per table name)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+               round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT l_orderkey, o_orderpriority, round(rev_c / 100.0, 2) AS revenue FROM (
+            SELECT l.l_orderkey, o.o_orderpriority,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_orderkey, o.o_orderpriority
+        ) ORDER BY rev_c DESC, l_orderkey LIMIT 10
+    """,
+    "orders_per_nation": """
+        SELECT c.c_nationkey, count(*) AS n_orders,
+               round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    "customers_with_orders": """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    "per_group_topk": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders
+        ) WHERE rk <= 2
+    """,
+    "sort_lineitem": """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1000
+    """,
+    "distinct_flag_status": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "union_limit": """
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'
+        ) ORDER BY doc_id LIMIT 100
+    """,
+    "windowed_events": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "asof_events_orders": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, o.o_orderkey
+        FROM events e ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "dedup_documents_exact": """
+        SELECT sha256(text) AS sha256, min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY sha256(text)
+    """,
+    "token_stats": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+               length(text) AS n_chars2
+        FROM documents
+    """,
+    "quality_score": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
+               CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                    THEN round(length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g'))
+                               * 1.0 / len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 4)
+                    ELSE 0.0 END AS avg_word_len,
+               CASE WHEN length(text) > 0
+                    THEN round(length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g'))
+                               * 1.0 / length(text), 4)
+                    ELSE 0.0 END AS word_char_ratio
+        FROM documents
+    """,
+    "embedding_topk": """
+        SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+    """,
+    "retrieval_rate": """
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe, label AS ql
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        ranked AS (
+            SELECT q.qid, q.ql, e.label AS el,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id
+                   ) AS rk
+            FROM q, embeddings e WHERE e.vec_id <> q.qid
+        ),
+        first_hit AS (
+            SELECT qid, min(rk) AS first_rk FROM ranked WHERE el = ql GROUP BY qid
+        ),
+        ks(k) AS (VALUES (1), (4), (8), (16), (32), (64))
+        SELECT ks.k AS k,
+               round(avg(CASE WHEN fh.first_rk IS NOT NULL AND fh.first_rk <= ks.k
+                              THEN 1.0 ELSE 0.0 END), 4) AS rate
+        FROM ks CROSS JOIN q LEFT JOIN first_hit fh ON fh.qid = q.qid
+        GROUP BY ks.k
+    """,
+    "cc_documents": """
+        WITH RECURSIVE edges AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+             AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+        ),
+        walk(node, reach) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.node, s.v FROM walk w JOIN sym s ON s.u = w.reach
+        )
+        SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node
+    """,
+}
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "orders_per_nation": q_orders_per_nation,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "per_group_topk": q_per_group_topk,
+    "sort_lineitem": q_sort_lineitem,
+    "distinct_flag_status": q_distinct_flag_status,
+    "union_limit": q_union_limit,
+    "windowed_events": q_windowed_events,
+    "asof_events_orders": q_asof_events_orders,
+    "dedup_documents_exact": q_dedup_documents_exact,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "langid": q_langid,
+    "langid_accuracy": q_langid_accuracy,
+    "simhash": q_simhash,
+    "doc_fingerprints": q_doc_fingerprints,
+    "minhash_near_dup": q_minhash_near_dup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "retrieval_rate": q_retrieval_rate,
+    "cc_documents": q_cc_documents,
+}

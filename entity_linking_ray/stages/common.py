@@ -3,6 +3,19 @@
 from __future__ import annotations
 
 
+def default_partitions(cap: int = 16) -> int:
+    """Shuffle partition count sized to the session: hash-shuffle aggregator
+    pools plus the stateful actor pools can starve each other when a single
+    operator's partition count exceeds the CPU count (observed as a full
+    pipeline deadlock at num_cpus=4 with 8 partitions)."""
+    import ray
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(cap, cpus))
+
+
 def scrub_empty_blocks(ds, batch_size: int = 65536):
     """Work around a Ray Data 2.49 artifact: groupby-aggregate outputs fed by
     unions/joins can contain zero-column EMPTY blocks (``schema=[]``), and a
