@@ -1,0 +1,166 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line:
+
+    {"metric": "linkage_synth_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "files_per_sec": ...}
+
+The headline is the flagship record-linkage pipeline over a deterministic
+synthetic source-code corpus (FIXTURES.md bench tier — generated once into
+/tmp and cached; generation is not timed). Secondary timings cover the other
+heavy pipelines over the driver tables.
+
+``--scaling``: runs the same bench twice in FRESH processes at num_cpus=8 and
+num_cpus=32 (the sandbox proxy for N vs 4N nodes) and prints both headline
+times plus scaling efficiency = (t8/t32)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_FILES = int(os.environ.get("BENCH_SYNTH_CLUSTERS", "8000"))  # ~20k files
+
+
+def _synth_corpus_path() -> tuple[str, int]:
+    """Generate (once) and cache the bench-tier synthetic corpus parquet."""
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/elr_bench/synth_{SYNTH_FILES}.parquet"
+    if os.path.exists(path):
+        return path, pq.read_metadata(path).num_rows
+    os.makedirs("/tmp/elr_bench", exist_ok=True)
+    from entity_linking_ray.sources.synthetic import SynthSpec, generate_corpus
+
+    # file_scale=3 => ~3-4 KB files (realistic source-file sizes; featurize
+    # compute then dominates the fixed shuffle-row cost)
+    corpus, _gold, _pairs = generate_corpus(SynthSpec(n_clusters=SYNTH_FILES, file_scale=3))
+    tmp = path + ".tmp"
+    # small row groups so read_parquet can split the single file into many
+    # parallel read tasks
+    pq.write_table(corpus, tmp, row_group_size=4096)
+    os.replace(tmp, path)
+    return path, corpus.num_rows
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from entity_linking_ray.config import LinkageConfig
+    from entity_linking_ray.pipelines import queries as Q
+    from entity_linking_ray.pipelines.linkage import link_dataset
+    from entity_linking_ray.sources.synthetic import corpus_from_documents
+    from entity_linking_ray.stages.common import default_partitions
+
+    corpus_path, n_files = _synth_corpus_path()
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    pq.read_table(corpus_path)
+    for t in ("lineitem", "events", "documents", "embeddings", "orders", "customer"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        # consume to completion
+        if hasattr(out, "materialize"):
+            out = out.materialize()
+            out.count()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    cfg = LinkageConfig(shuffle_partitions=default_partitions(32))
+
+    # --- headline: flagship linkage over the synthetic code corpus ---
+    timed("linkage_synth", lambda: link_dataset(corpus_path, cfg))
+
+    # --- secondary pipelines over the driver tables ---
+    import ray.data as rd
+
+    timed("linkage_documents", lambda: link_dataset(
+        rd.from_arrow(corpus_from_documents(SF_DIR)), cfg))
+    timed("pricing_summary", lambda: Q.q_pricing_summary(SF_DIR))
+    timed("top_revenue_orders", lambda: Q.q_top_revenue_orders(SF_DIR))
+    timed("windowed_events", lambda: Q.q_windowed_events(SF_DIR))
+    timed("asof_events_orders", lambda: Q.q_asof_events_orders(SF_DIR))
+    timed("minhash_near_dup", lambda: Q.q_minhash_near_dup(SF_DIR))
+    timed("embedding_topk", lambda: Q.q_embedding_topk(SF_DIR))
+    timed("cc_documents", lambda: Q.q_cc_documents(SF_DIR))
+
+    headline = timings["linkage_synth"]
+    result = {
+        "metric": "linkage_synth_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "n_files": n_files,
+        "files_per_sec": round(n_files / max(1e-9, headline), 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    # ensure the corpus cache exists before timing anything
+    _synth_corpus_path()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "files_per_sec_8": r_lo["files_per_sec"],
+        "files_per_sec_32": r_hi["files_per_sec"],
+        "sf": SF_DIR,
+        "n_files": r_lo.get("n_files"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

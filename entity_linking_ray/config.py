@@ -38,8 +38,19 @@ class LinkageConfig:
     borderline_margin: float = 0.08  # Levenshtein fallback band around thresholds
     tau_lev: float = 0.70  # token-Levenshtein ratio decision threshold
 
+    # --- scoring plan selection ---
+    # feature tables up to this many rows are broadcast once via ray.put and
+    # pairs are scored with zero shuffle (lookup by sorted node id); larger
+    # tables use hash-shuffle feature joins. ~1.3 KB/row -> ~1.3 GB ceiling.
+    broadcast_feature_rows: int = 1_000_000
+
     # --- clustering ---
     max_cc_rounds: int = 25
+    # edge lists up to this size cluster with a driver-side union-find (the
+    # contracted graph after exact-collapse + LSH filtering is tiny relative
+    # to the corpus); above it, the iterative distributed min-label rounds
+    # run. 0 disables the shortcut (tests force the distributed path).
+    driver_cc_edge_limit: int = 5_000_000
 
     # --- execution ---
     featurize_concurrency: int | None = None  # None -> Ray autoscaling tasks

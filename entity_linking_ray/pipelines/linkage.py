@@ -33,7 +33,7 @@ from ..stages.exact import exact_collapse
 from ..stages.featurize import featurize
 from ..stages.fingerprint import fingerprint
 from ..stages.common import safe_join
-from ..stages.scoring import filter_edges, join_pair_features, score_pairs
+from ..stages.scoring import filter_edges, score_edges
 from ..state.checkpoint import CheckpointManager
 
 
@@ -82,6 +82,16 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
         "features", ["input"], lambda: featurize(fingerprint(ds), cfg)
     )
 
+    # size shuffle partitions to the actual row volume: each hash-shuffle
+    # partition costs an aggregator actor per operator, which dominates wall
+    # time on small inputs; cfg.shuffle_partitions stays the ceiling at scale.
+    # (Partition count never affects results — cluster ids are min-node.)
+    import dataclasses
+
+    n_rows = feats.count()
+    eff_parts = max(4, min(cfg.shuffle_partitions, -(-n_rows // 10_000)))
+    cfg = dataclasses.replace(cfg, shuffle_partitions=eff_parts)
+
     tagged, reps, exact_edges = exact_collapse(feats, cfg)
 
     # band rows and stats are consumed by several lazy consumers (stats pass,
@@ -97,8 +107,7 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
     def _edges():
         if pairs.count() == 0:
             return filter_edges(exact_edges, cfg)
-        pair_feats = join_pair_features(pairs, feats, cfg)
-        lsh_edges = score_pairs(pair_feats, cfg)
+        lsh_edges = score_edges(pairs, feats, cfg)
         return filter_edges(exact_edges.union(lsh_edges), cfg)
 
     edges = ckpt.run("edges", ["features"], _edges)

@@ -58,17 +58,18 @@ class SynthSpec:
     n_distractor_groups: int = 20
     distractors_per_group: int = 4
     hot_fraction: float = 0.06  # fraction of total files that are boilerplate variants
+    file_scale: int = 1  # multiplies functions-per-file (bench uses >1 for realistic sizes)
 
 
 def _ident(rng: np.random.Generator) -> str:
     return "_".join(rng.choice(_WORDS, size=rng.integers(1, 3)))
 
 
-def _base_file(rng: np.random.Generator, lang: str, template_seed: int) -> str:
+def _base_file(rng: np.random.Generator, lang: str, template_seed: int, file_scale: int = 1) -> str:
     """A templated source file. Files sharing template_seed share structure
     (keywords/shape) but NOT identifiers unless the same vocab rng is used."""
     trng = np.random.default_rng(template_seed)
-    n_funcs = int(trng.integers(3, 7))
+    n_funcs = int(trng.integers(3, 7)) * file_scale
     lines: list[str] = []
     mod = _ident(rng)
     if lang == "py":
@@ -170,7 +171,7 @@ def generate_corpus(spec: SynthSpec | None = None):
     for ci in range(spec.n_clusters):
         lang = _LANGS[ci % len(_LANGS)]
         template_seed = 10_000 + int(rng.integers(0, 40))
-        content = _base_file(rng, lang, template_seed)
+        content = _base_file(rng, lang, template_seed, spec.file_scale)
         cid = next_cluster
         next_cluster += 1
         repo = f"org{ci % 13}/proj{ci}"
@@ -195,7 +196,7 @@ def generate_corpus(spec: SynthSpec | None = None):
         template_seed = 20_000 + gi
         group_rows = []
         for _ in range(spec.distractors_per_group):
-            content = _base_file(rng, lang, template_seed)
+            content = _base_file(rng, lang, template_seed, spec.file_scale)
             cid = next_cluster
             next_cluster += 1
             emit(

@@ -41,7 +41,7 @@ from ray.data.aggregate import Count, Min
 
 from ..config import LinkageConfig
 from ..functions.hashing import band_keys, splitmix64
-from .common import safe_join, scrub_empty_blocks
+from .common import partitioned_aggregate, safe_join, scrub_empty_blocks
 
 _HOT_COLLECT_LIMIT = 1_000_000
 
@@ -69,11 +69,17 @@ def explode_bands(reps, cfg: LinkageConfig):
 
 
 def block_stats(band_rows, cfg: LinkageConfig | None = None):
-    """groupby(band_key) -> (band_key, n_members, rep_node). A pre-aggregated
-    shuffle over 16-byte rows; this is also the lineage/metrics source for the
-    block-size histogram."""
-    return band_rows.groupby("band_key").aggregate(
-        Count(alias_name="n_members"), Min("node", alias_name="rep_node")
+    """(band_key, n_members, rep_node) per block — the skew histogram.
+
+    Uses the partitioned vectorized aggregate: band_key cardinality is ~rows
+    (mostly singletons), far past where Ray's per-key aggregate finalize is
+    usable (see common.partitioned_aggregate)."""
+    npart = cfg.shuffle_partitions if cfg is not None else 32
+    return partitioned_aggregate(
+        band_rows,
+        ["band_key"],
+        [("node", "count", "n_members"), ("node", "min", "rep_node")],
+        num_partitions=npart,
     )
 
 
@@ -181,33 +187,55 @@ def filter_and_salt(band_rows, stats, cfg: LinkageConfig):
 
 
 def candidate_pairs(salted_rows, cfg: LinkageConfig):
-    """groupby(block_key).map_groups -> unique candidate pairs (src < dst).
+    """Unique candidate pairs (src < dst) via a band-key SELF-JOIN.
 
-    Within a block of size s, emits all s*(s-1)/2 pairs, truncating at
-    max_block_size members per (already salted) block as a hard guard. Pair
-    dedup across bands = groupby(src, dst).min(block_key) — an aggregate, not
-    per-group Python.
+    A ``groupby(band_key).map_groups`` pair generator pays a Python call per
+    block — at bench scale (~10^5 multi-member blocks) that was ~70% of the
+    whole pipeline's wall time. The equivalent hash-shuffle self-join runs
+    entirely in Arrow kernels: per block of size s it emits s^2 rows, the
+    ``src < dst`` filter keeps each unordered pair once, and per-pair band
+    collisions collapse in the ``groupby(src, dst).min(block_key)`` aggregate.
+    Block sizes are already capped by salting, so s^2 stays bounded.
     """
-    cap = cfg.max_block_size
+    import ray.data
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        nodes = np.unique(g["node"].to_numpy(dtype=np.int64))
-        if nodes.shape[0] < 2:
-            return pd.DataFrame({"src": [], "dst": [], "block_key": []}).astype(
-                {"src": np.int64, "dst": np.int64, "block_key": np.int64}
-            )
-        if nodes.shape[0] > cap:
-            nodes = nodes[:cap]  # deterministic (sorted) guard; salting should prevent this
-        i, j = np.triu_indices(nodes.shape[0], k=1)
-        return pd.DataFrame(
-            {
-                "src": nodes[i],
-                "dst": nodes[j],
-                "block_key": np.full(i.shape[0], g["band_key"].iloc[0], dtype=np.int64),
-            }
+    salted_rows = salted_rows.materialize()
+    if salted_rows.count() == 0:
+        # no multi-member blocks at all: empty result WITH schema (scrubbed
+        # zero-block datasets lose their schema inside joins)
+        return ray.data.from_arrow(
+            pa.table({
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "block_key": pa.array([], type=pa.int64()),
+            })
         )
 
-    pairs = salted_rows.groupby("band_key").map_groups(_pairs, batch_format="pandas")
+    left = salted_rows.map_batches(
+        lambda t: t.rename_columns(["band_key", "src"]), batch_format="pyarrow"
+    )
+    right = salted_rows.map_batches(
+        lambda t: t.rename_columns(["band_key", "dst"]), batch_format="pyarrow"
+    )
+    joined = safe_join(
+        left, right, join_type="inner",
+        num_partitions=cfg.shuffle_partitions, on=("band_key",),
+    )
+
+    def _tri(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = src < dst
+        cols = {c: t.column(c).to_numpy(zero_copy_only=False)[keep]
+                for c in ("src", "dst", "band_key")}
+        return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+    pairs = joined.map_batches(_tri, batch_format="pyarrow")
     return scrub_empty_blocks(
-        pairs.groupby(["src", "dst"]).aggregate(Min("block_key", alias_name="block_key"))
+        partitioned_aggregate(
+            pairs,
+            ["src", "dst"],
+            [("band_key", "min", "block_key")],
+            num_partitions=cfg.shuffle_partitions,
+        )
     )

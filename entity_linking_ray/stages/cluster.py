@@ -33,7 +33,7 @@ import pyarrow as pa
 from ray.data.aggregate import Min
 
 from ..config import LinkageConfig
-from .common import safe_join, scrub_empty_blocks
+from .common import partitioned_aggregate, safe_join, scrub_empty_blocks
 
 
 def _symmetrize(edges):
@@ -48,6 +48,48 @@ def _symmetrize(edges):
     )
 
 
+def _driver_union_find(edges):
+    """Small-graph plan: collect the (already filtered, already contracted)
+    edge list and run fully-vectorized min-label propagation with pointer
+    jumping in numpy on the driver.
+
+    The edge list after exact-collapse and match-grade filtering is orders of
+    magnitude smaller than the corpus, so below ``driver_cc_edge_limit`` a
+    driver pass of a few numpy sweeps beats several distributed join rounds.
+    Labels are identical to the distributed path's (component-min node), so
+    plan choice never changes results — asserted by tests running both paths.
+    """
+    import ray
+    import ray.data
+
+    proj = edges.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # degenerate 0-column empty blocks (see scrub_empty_blocks) pass through
+    # map_batches untouched — drop them here
+    tables = [t for t in (ray.get(r) for r in proj.to_arrow_refs()) if t.num_rows > 0]
+    tables = [t.select(["src", "dst"]) for t in tables]
+    tbl = pa.concat_tables(tables)
+    src = tbl.column("src").to_numpy()
+    dst = tbl.column("dst").to_numpy()
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = nodes.shape[0]
+    ia, ib = inv[: src.shape[0]], inv[src.shape[0]:]
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        nxt = labels.copy()
+        np.minimum.at(nxt, ia, labels[ib])  # propagate both directions
+        np.minimum.at(nxt, ib, labels[ia])
+        nxt = nxt[nxt]  # pointer jump (vectorized)
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    # label = index of component-min node; nodes[] ascending => min index == min id
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "cluster": pa.array(nodes[labels])})
+    )
+
+
 def connected_components(edges, cfg: LinkageConfig):
     """edges (src u64, dst u64, ...) -> Dataset(node u64, cluster u64).
 
@@ -56,8 +98,16 @@ def connected_components(edges, cfg: LinkageConfig):
     """
     import ray.data
 
+    edges = edges.materialize()  # consumed 1-2x below; 16 B/row, spill-safe
+    n_edges = edges.count()
+    if 0 < n_edges <= cfg.driver_cc_edge_limit:
+        return _driver_union_find(edges)
     sym = _symmetrize(edges).materialize()  # reused every round; 16B/row
-    if sym.count() == 0:
+    n_edge_rows = sym.count()
+    # partition count proportional to data volume: tiny label tables pay the
+    # per-partition aggregator-actor spin-up every round otherwise
+    npart = max(2, min(cfg.shuffle_partitions, -(-n_edge_rows // 200_000)))
+    if n_edge_rows == 0:
         # no edges at all: empty result WITH schema (a zero-block dataset
         # would lose its schema and break downstream joins)
         empty = pa.table(
@@ -66,8 +116,9 @@ def connected_components(edges, cfg: LinkageConfig):
         return ray.data.from_arrow(empty)
 
     labels = (
-        sym.groupby("e_src")
-        .aggregate(Min("e_dst", alias_name="nbr_min"))
+        partitioned_aggregate(
+            sym, ["e_src"], [("e_dst", "min", "nbr_min")], num_partitions=npart
+        )
         .map_batches(
             lambda t: pa.table(
                 {
@@ -85,48 +136,82 @@ def connected_components(edges, cfg: LinkageConfig):
         .materialize()
     )
 
+    def _label_sum(lab):
+        # labels only DECREASE, so the exact label sum strictly decreases
+        # whenever anything changed — an O(1)-output convergence hint that
+        # avoids a per-round join; equality is confirmed with one exact
+        # join-count before stopping.
+        return lab.sum("label")
+
+    def _exact_changed(new_lab, old_lab) -> int:
+        return (
+            safe_join(
+                new_lab,
+                old_lab.map_batches(
+                    lambda t: t.rename_columns(["node", "old_label"]),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=npart,
+                on=("node",),
+            )
+            .map_batches(
+                lambda t: t.filter(pa.compute.not_equal(t["label"], t["old_label"])),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+
+    prev_sum = _label_sum(labels)
     for _round in range(cfg.max_cc_rounds):
+        start_labels = labels
+        # 1) propagate: one hop of min-label along (symmetric) edges
         msgs = safe_join(
             sym,
             labels,
             join_type="inner",
-            num_partitions=cfg.shuffle_partitions,
+            num_partitions=npart,
             on=("e_src",),
             right_on=("node",),
         ).map_batches(
             lambda t: pa.table({"node": t.column("e_dst"), "label": t.column("label")}),
             batch_format="pyarrow",
         )
-        # materialize first, THEN scrub: scrubbing the lazy aggregate gets
-        # fused into the shuffle and the degenerate empty blocks survive
-        new_labels = scrub_empty_blocks(
-            msgs.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
+        # (safe_join scrubs its inputs, so prop needs no standalone scrub;
+        # one materialize because the jump consumes it on both sides)
+        prop = partitioned_aggregate(
+            msgs.union(labels), ["node"], [("label", "min", "label")], num_partitions=npart
         ).materialize()
-        changed = (
+
+        # 2) pointer jump: label <- label[label] (halves chain depth — O(log d)
+        #    rounds on path-shaped components; every label IS a node with a
+        #    row, so the inner join is total)
+        jump_right = prop.map_batches(
+            lambda t: t.rename_columns(["jnode", "jlabel"]), batch_format="pyarrow"
+        )
+        new_labels = (
             safe_join(
-                new_labels,
-                labels.map_batches(
-                    lambda t: t.rename_columns(["node", "old_label"]),
-                    batch_format="pyarrow",
-                ),
+                prop,
+                jump_right,
                 join_type="inner",
-                num_partitions=cfg.shuffle_partitions,
-                on=("node",),
+                num_partitions=npart,
+                on=("label",),
+                right_on=("jnode",),
             )
             .map_batches(
-                lambda t: t.filter(
-                    pa.compute.not_equal(t["label"], t["old_label"])
-                ),
+                lambda t: pa.table({"node": t.column("node"), "label": t.column("jlabel")}),
                 batch_format="pyarrow",
             )
-            .count()
+            .materialize()
         )
+
         labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        # equal sums almost-surely means converged (labels are monotone
+        # decreasing); confirm exactly once before stopping
+        if cur_sum == prev_sum and _exact_changed(new_labels, start_labels) == 0:
             break
+        prev_sum = cur_sum
 
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "cluster"]), batch_format="pyarrow"

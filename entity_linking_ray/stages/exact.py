@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Min
 
 from ..config import LinkageConfig
-from .common import safe_join, scrub_empty_blocks
+from .common import partitioned_aggregate, safe_join, scrub_empty_blocks
 
 
 def exact_collapse(features, cfg: LinkageConfig):
@@ -26,16 +26,64 @@ def exact_collapse(features, cfg: LinkageConfig):
     - reps: one representative row per distinct sha256 (node == rep_node)
     - exact_edges: (src=rep_node, dst=node, score=1.0, kind='exact') for dups
     """
+    def _sha_part(t: pa.Table):
+        import numpy as np
+
+        return np.array(
+            [int(s[:12], 16) for s in t.column("sha256").to_pylist()], dtype=np.uint64
+        )
+
     rep_tbl = scrub_empty_blocks(
-        features.groupby("sha256").aggregate(Min("node", alias_name="rep_node"))
-    )
-    tagged = safe_join(
-        features,
-        rep_tbl,
-        join_type="inner",
-        num_partitions=cfg.shuffle_partitions,
-        on=("sha256",),
-    )
+        partitioned_aggregate(
+            features.map_batches(
+                lambda t: t.select(["sha256", "node"]), batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["sha256"],
+            [("node", "min", "rep_node")],
+            num_partitions=cfg.shuffle_partitions,
+            part_from=_sha_part,
+        )
+    ).materialize()
+
+    if rep_tbl.count() <= cfg.broadcast_feature_rows:
+        # broadcast plan: the rep map is ~70 B/distinct-sha — ray.put it once
+        # and attach rep_node with a per-batch dict lookup instead of
+        # re-shuffling the whole feature table through a hash join
+        import ray
+
+        mapping: dict[str, int] = {}
+        for r in rep_tbl.to_arrow_refs():
+            t = ray.get(r)
+            mapping.update(zip(t.column("sha256").to_pylist(), t.column("rep_node").to_pylist()))
+        mref = ray.put(mapping)
+
+        class AttachRep:
+            """Actor-pool stage: the rep dict unpickles ONCE per actor in
+            __init__ (a plain task fn would ray.get + unpickle it per batch)."""
+
+            def __init__(self):
+                self.m = ray.get(mref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                m = self.m
+                reps_col = [m[s] for s in t.column("sha256").to_pylist()]
+                return t.append_column("rep_node", pa.array(reps_col, type=pa.int64()))
+
+        tagged = features.map_batches(
+            AttachRep, batch_format="pyarrow", concurrency=(1, 8)
+        ).materialize()
+    else:
+        # scale plan: hash-shuffle join on sha256.
+        # materialized either way: two consumers (reps filter + dup-edge
+        # projection) would otherwise each re-execute; rows are compact.
+        tagged = safe_join(
+            features,
+            rep_tbl,
+            join_type="inner",
+            num_partitions=cfg.shuffle_partitions,
+            on=("sha256",),
+        ).materialize()
 
     reps = tagged.map_batches(
         lambda t: t.filter(pc.equal(t["node"], t["rep_node"])),

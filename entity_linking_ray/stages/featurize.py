@@ -34,34 +34,61 @@ class FeaturizeStage:
         self.a, self.b = minhash_params(cfg.num_perm, cfg.seed)
         self._cache: dict[str, tuple[bytes, np.ndarray, bytes, int]] = {}
 
-    def _features_for(self, content: str) -> tuple[bytes, np.ndarray, bytes, int]:
-        th = token_hashes(content)
-        sh = rolling_shingle_hashes(th, self.cfg.shingle_w)
-        if sh.shape[0] == 0:
-            # degenerate short content: one pseudo-shingle over the whole text
-            sh = (th[:1] if th.shape[0] else np.zeros(1, dtype=np.uint64)) & np.uint64(0xFFFFFFFF)
-        sig = minhash_signatures([sh], self.a, self.b)[0]
-        emb = self.encoder.embed_token_hashes([th])[0]
-        tokseq = th[: self.cfg.tokseq_cap].astype(np.uint32).tobytes()
-        return sig.tobytes(), emb, tokseq, int(th.shape[0])
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         contents = batch.column("content").to_pylist()
         shas = batch.column("sha256").to_pylist()
-        sigs: list[bytes] = []
-        embs = np.empty((len(contents), self.cfg.embed_dim), dtype=np.float32)
-        tokseqs: list[bytes] = []
-        ntoks = np.empty(len(contents), dtype=np.int32)
-        for i, (sha, content) in enumerate(zip(shas, contents)):
+        n = len(contents)
+        sigs: list[bytes | None] = [None] * n
+        embs = np.empty((n, self.cfg.embed_dim), dtype=np.float32)
+        tokseqs: list[bytes | None] = [None] * n
+        ntoks = np.empty(n, dtype=np.int32)
+
+        # cache pass: exact-dup content (keyed by sha) featurizes once per actor
+        miss_idx: list[int] = []
+        miss_sha_first: dict[str, int] = {}
+        for i, sha in enumerate(shas):
             feats = self._cache.get(sha)
-            if feats is None:
-                feats = self._features_for(content)
+            if feats is not None:
+                sigs[i], embs[i], tokseqs[i], ntoks[i] = feats
+            elif sha in miss_sha_first:
+                miss_idx.append(i)  # backfilled from the first occurrence below
+            else:
+                miss_sha_first[sha] = i
+                miss_idx.append(i)
+
+        # batched featurization of the distinct cache misses: ONE kernel call
+        # per batch (per-row minhash calls pay 128 small-array passes each)
+        uniq = list(miss_sha_first.items())
+        if uniq:
+            ths = [token_hashes(contents[i]) for _, i in uniq]
+            shingles = []
+            for th in ths:
+                sh = rolling_shingle_hashes(th, self.cfg.shingle_w)
+                if sh.shape[0] == 0:
+                    sh = (th[:1] if th.shape[0] else np.zeros(1, dtype=np.uint64)) & np.uint64(0xFFFFFFFF)
+                shingles.append(sh)
+            sig_m = minhash_signatures(shingles, self.a, self.b)
+            emb_m = self.encoder.embed_token_hashes(ths)
+            for k, (sha, i) in enumerate(uniq):
+                feats = (
+                    sig_m[k].tobytes(),
+                    emb_m[k],
+                    ths[k][: self.cfg.tokseq_cap].astype(np.uint32).tobytes(),
+                    int(ths[k].shape[0]),
+                )
                 if len(self._cache) < _CACHE_MAX:
                     self._cache[sha] = feats
-            sigs.append(feats[0])
-            embs[i] = feats[1]
-            tokseqs.append(feats[2])
-            ntoks[i] = feats[3]
+            for i in miss_idx:
+                feats = self._cache.get(shas[i])
+                if feats is None:  # cache full: recompute via the first index
+                    k = next(k for k, (s, _) in enumerate(uniq) if s == shas[i])
+                    feats = (
+                        sig_m[k].tobytes(),
+                        emb_m[k],
+                        ths[k][: self.cfg.tokseq_cap].astype(np.uint32).tobytes(),
+                        int(ths[k].shape[0]),
+                    )
+                sigs[i], embs[i], tokseqs[i], ntoks[i] = feats
         keep = [c for c in batch.column_names if c != "content"]
         out = batch.select(keep)
         out = out.append_column("sig", pa.array(sigs, type=pa.binary()))

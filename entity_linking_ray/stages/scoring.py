@@ -5,25 +5,25 @@ towers' embeddings (/root/reference/src/bi_encoder.py:96,
 src/eval_zeshel.py:44) — applied per candidate pair instead of all-pairs, plus
 the north rule's token-level Jaccard and Levenshtein fallbacks.
 
-Plan shape: candidate pairs (src, dst, block_key) are hash-joined twice against
-the compact feature table (sig/emb/tokseq — content was dropped at featurize),
-then scored fully vectorized per batch:
+Two-phase plan (shuffle-volume aware):
 
-- ``dot``      einsum over the two (n, d) embedding matrices' rows
-- ``jac``      mean equal-positions of the two (n, num_perm) uint32 signatures
-- ``lev``      banded token-sequence Levenshtein, computed ONLY for borderline
-               pairs (within ``borderline_margin`` of a threshold) — the rare
-               slow path never touches the bulk.
-
-Match rule (an edge is emitted when score >= tau_emit; the final edge filter
-applies the match thresholds): matched if jac >= tau_jaccard or
-dot >= tau_dot, else if borderline then lev >= tau_lev.
+1. **bulk scoring**: candidate pairs are hash-joined twice against a SLIM
+   feature projection (sig 512 B + emb 512 B — tokseq stays home), then scored
+   fully vectorized per batch: ``dot`` via einsum, ``jac`` as mean
+   equal-positions of the uint32 signatures. Pairs are decided here unless
+   they fall within ``borderline_margin`` of a threshold.
+2. **borderline resolution**: the (rare) borderline pairs alone are joined
+   back to the token-prefix column and decided by banded token-sequence
+   Levenshtein. This keeps the KB-scale ``tokseq`` payload out of the main
+   all-to-all exchange — single-node shuffles are memory-bandwidth bound, so
+   payload bytes, not CPU, set their wall time.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import LinkageConfig
 from ..functions.similarity import token_levenshtein_ratio
@@ -38,44 +38,147 @@ def _rename(features, mapping: dict[str, str], keep: list[str]):
     return features.map_batches(_m, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def join_pair_features(pairs, features, cfg: LinkageConfig):
-    """pairs (src,dst,block_key) ⋈ features twice -> scored-pair input table."""
-    keep = ["node", "sig", "emb", "tokseq"]
-    fa = _rename(features, {"node": "src", "sig": "sig_a", "emb": "emb_a", "tokseq": "tokseq_a"}, keep)
-    fb = _rename(features, {"node": "dst", "sig": "sig_b", "emb": "emb_b", "tokseq": "tokseq_b"}, keep)
+def join_pair_features(pairs, features, cfg: LinkageConfig, cols=("sig", "emb")):
+    """pairs (src,dst,block_key) ⋈ features twice -> scored-pair input table.
+
+    Only the columns in ``cols`` are shipped (default: signature + embedding;
+    the Levenshtein token prefix is fetched later for borderline pairs only).
+    """
+    keep = ["node", *cols]
+    fa = _rename(features, {"node": "src", **{c: f"{c}_a" for c in cols}}, keep)
+    fb = _rename(features, {"node": "dst", **{c: f"{c}_b" for c in cols}}, keep)
     out = safe_join(pairs, fa, join_type="inner", num_partitions=cfg.shuffle_partitions, on=("src",))
     out = safe_join(out, fb, join_type="inner", num_partitions=cfg.shuffle_partitions, on=("dst",))
     return out
 
 
-class ScorePairs:
-    """Vectorized stateless scorer (plain function semantics; class only to
-    precompute config-derived constants once per task via fn_constructor)."""
+def _bulk_score(batch: pa.Table, cfg: LinkageConfig) -> pa.Table:
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+                "kind": pa.array([], type=pa.string()),
+                "matched": pa.array([], type=pa.bool_()),
+                "borderline": pa.array([], type=pa.bool_()),
+                "block_key": pa.array([], type=pa.int64()),
+            }
+        )
+    sig_a = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()), dtype=np.uint32).reshape(n, -1)
+    sig_b = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()), dtype=np.uint32).reshape(n, -1)
+    emb_a = np.frombuffer(b"".join(batch.column("emb_a").to_pylist()), dtype=np.float32).reshape(n, -1)
+    emb_b = np.frombuffer(b"".join(batch.column("emb_b").to_pylist()), dtype=np.float32).reshape(n, -1)
+    jac = (sig_a == sig_b).mean(axis=1)
+    dot = np.einsum("ij,ij->i", emb_a, emb_b).astype(np.float64)
 
-    def __init__(self, cfg: LinkageConfig):
-        self.cfg = cfg
+    matched = (jac >= cfg.tau_jaccard) | (dot >= cfg.tau_dot)
+    borderline = ~matched & (
+        (jac >= cfg.tau_jaccard - cfg.borderline_margin)
+        | (dot >= cfg.tau_dot - cfg.borderline_margin)
+    )
+    score = np.maximum(jac, dot)
+    kind = np.where(jac >= dot, "jaccard", "dot")
+    keep = matched | borderline | (score >= cfg.tau_emit)
+    return pa.table(
+        {
+            "src": pa.array(batch.column("src").to_numpy(zero_copy_only=False)[keep]),
+            "dst": pa.array(batch.column("dst").to_numpy(zero_copy_only=False)[keep]),
+            "score": pa.array(score[keep]),
+            "kind": pa.array(kind[keep].tolist(), type=pa.string()),
+            "matched": pa.array(matched[keep]),
+            "borderline": pa.array(borderline[keep]),
+            "block_key": pa.array(batch.column("block_key").to_numpy(zero_copy_only=False)[keep]),
+        }
+    )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
+
+def _resolve_borderline(borderline, features, cfg: LinkageConfig):
+    """Join tokseq for the (small) borderline set; decide by Levenshtein."""
+    pf = join_pair_features(
+        borderline.map_batches(
+            lambda t: t.select(["src", "dst", "block_key"]), batch_format="pyarrow"
+        ),
+        features,
+        cfg,
+        cols=("tokseq",),
+    )
+
+    def _lev(t: pa.Table) -> pa.Table:
+        ta = t.column("tokseq_a").to_pylist()
+        tb = t.column("tokseq_b").to_pylist()
+        lev = np.empty(len(ta))
+        for i in range(len(ta)):
+            lev[i] = token_levenshtein_ratio(
+                np.frombuffer(ta[i], dtype=np.uint32), np.frombuffer(tb[i], dtype=np.uint32)
+            )
+        matched = lev >= cfg.tau_lev
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "score": pa.array(lev),
+                "kind": pa.array(["lev"] * len(ta), type=pa.string()),
+                "matched": pa.array(matched),
+                "block_key": t["block_key"],
+            }
+        )
+
+    return pf.map_batches(_lev, batch_format="pyarrow")
+
+
+def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
+    """Zero-shuffle scoring: the compact feature arrays are ray.put ONCE and
+    every scoring task looks pairs up by sorted node id. Used whenever the
+    feature table fits (cfg.broadcast_feature_rows); this is the single-node
+    fast path — per-pair shuffle joins are memory-bandwidth bound and do not
+    scale with cores."""
+    import ray
+
+    proj = features.map_batches(
+        lambda t: t.select(["node", "sig", "emb", "tokseq"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    tbl = pa.concat_tables([ray.get(r) for r in proj.to_arrow_refs()])
+    nodes = tbl.column("node").to_numpy()
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    num_perm = cfg.num_perm
+    sig = np.frombuffer(b"".join(tbl.column("sig").to_pylist()), dtype=np.uint32).reshape(-1, num_perm)[order]
+    emb = np.frombuffer(b"".join(tbl.column("emb").to_pylist()), dtype=np.float32).reshape(-1, cfg.embed_dim)[order]
+    toks = tbl.column("tokseq").to_pylist()
+    tok_lens = np.array([len(b) for b in toks], dtype=np.int64)
+    tok_off = np.zeros(len(toks) + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=tok_off[1:])
+    tok_blob_unordered = b"".join(toks)
+    # reorder the blob to node order
+    blob = np.frombuffer(tok_blob_unordered, dtype=np.uint8)
+    parts = [blob[tok_off[i]: tok_off[i + 1]] for i in order]
+    tok_off2 = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum([p.shape[0] for p in parts], out=tok_off2[1:])
+    tok_blob = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+    ref = ray.put((nodes, sig, emb, tok_blob, tok_off2))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        fnodes, fsig, femb, fblob, foff = ray.get(ref)
         n = batch.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "src": pa.array([], type=pa.int64()),
-                    "dst": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                    "kind": pa.array([], type=pa.string()),
-                    "matched": pa.array([], type=pa.bool_()),
-                    "block_key": pa.array([], type=pa.int64()),
-                }
-            )
-        sig_a = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()), dtype=np.uint32).reshape(n, -1)
-        sig_b = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()), dtype=np.uint32).reshape(n, -1)
-        emb_a = np.frombuffer(b"".join(batch.column("emb_a").to_pylist()), dtype=np.float32).reshape(n, -1)
-        emb_b = np.frombuffer(b"".join(batch.column("emb_b").to_pylist()), dtype=np.float32).reshape(n, -1)
-        jac = (sig_a == sig_b).mean(axis=1)
-        dot = np.einsum("ij,ij->i", emb_a, emb_b).astype(np.float64)
-
+            return pa.table({
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+                "kind": pa.array([], type=pa.string()),
+                "matched": pa.array([], type=pa.bool_()),
+                "block_key": pa.array([], type=pa.int64()),
+            })
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(fnodes, src)
+        ib = np.searchsorted(fnodes, dst)
+        jac = (fsig[ia] == fsig[ib]).mean(axis=1)
+        dot = np.einsum("ij,ij->i", femb[ia], femb[ib]).astype(np.float64)
         matched = (jac >= cfg.tau_jaccard) | (dot >= cfg.tau_dot)
         borderline = ~matched & (
             (jac >= cfg.tau_jaccard - cfg.borderline_margin)
@@ -83,38 +186,51 @@ class ScorePairs:
         )
         lev = np.zeros(n)
         if borderline.any():
-            ta = batch.column("tokseq_a").to_pylist()
-            tb = batch.column("tokseq_b").to_pylist()
             for i in np.flatnonzero(borderline):
-                a = np.frombuffer(ta[i], dtype=np.uint32)
-                b = np.frombuffer(tb[i], dtype=np.uint32)
+                a = fblob[foff[ia[i]]: foff[ia[i] + 1]].view(np.uint32)
+                b = fblob[foff[ib[i]]: foff[ib[i] + 1]].view(np.uint32)
                 lev[i] = token_levenshtein_ratio(a, b)
-        matched |= borderline & (lev >= cfg.tau_lev)
-
+            matched = matched | (borderline & (lev >= cfg.tau_lev))
         score = np.maximum(np.maximum(jac, dot), lev)
         kind = np.where(lev >= cfg.tau_lev, "lev", np.where(jac >= dot, "jaccard", "dot"))
         keep = matched | (score >= cfg.tau_emit)
-        return pa.table(
-            {
-                "src": pa.array(batch.column("src").to_numpy(zero_copy_only=False)[keep]),
-                "dst": pa.array(batch.column("dst").to_numpy(zero_copy_only=False)[keep]),
-                "score": pa.array(score[keep]),
-                "kind": pa.array(kind[keep].tolist(), type=pa.string()),
-                "matched": pa.array(matched[keep]),
-                "block_key": pa.array(batch.column("block_key").to_numpy(zero_copy_only=False)[keep]),
-            }
-        )
+        return pa.table({
+            "src": pa.array(src[keep]),
+            "dst": pa.array(dst[keep]),
+            "score": pa.array(score[keep]),
+            "kind": pa.array(kind[keep].tolist(), type=pa.string()),
+            "matched": pa.array(matched[keep]),
+            "block_key": pa.array(batch.column("block_key").to_numpy(zero_copy_only=False)[keep]),
+        })
+
+    return pairs.map_batches(_score, batch_format="pyarrow", batch_size=65536)
 
 
-def score_pairs(pair_feats, cfg: LinkageConfig):
-    return pair_feats.map_batches(
-        ScorePairs, fn_constructor_args=(cfg,), batch_format="pyarrow", concurrency=(1, 8)
+def score_edges(pairs, features, cfg: LinkageConfig):
+    """Candidate pairs + feature table -> scored edge list (src, dst, score,
+    kind, matched, block_key). Plan selection: broadcast lookup when the
+    feature table fits (see _score_edges_broadcast), else the two-phase
+    join plan below."""
+    if features.count() <= cfg.broadcast_feature_rows:
+        return _score_edges_broadcast(pairs, features, cfg)
+    scored = join_pair_features(pairs, features, cfg).map_batches(
+        lambda t: _bulk_score(t, cfg), batch_format="pyarrow"
+    ).materialize()
+
+    clear = scored.map_batches(
+        lambda t: t.filter(pc.invert(t["borderline"])).drop_columns(["borderline"]),
+        batch_format="pyarrow",
     )
+    borderline = scored.map_batches(
+        lambda t: t.filter(t["borderline"]), batch_format="pyarrow"
+    ).materialize()
+    if borderline.count() == 0:
+        return clear
+    return clear.union(_resolve_borderline(borderline, features, cfg))
 
 
 def filter_edges(edges, cfg: LinkageConfig):
     """Stateless edge filter: keep match-grade edges for clustering."""
-    import pyarrow.compute as pc
 
     def _f(t: pa.Table) -> pa.Table:
         if "matched" in t.column_names:

@@ -133,14 +133,34 @@ def test_candidate_pairs_unique_and_ordered():
     assert len(pairs) == 6  # all 4-choose-2 near-dup pairs survive band dedup
 
 
-def test_connected_components_chain_and_star():
+@pytest.mark.parametrize(
+    "cfg",
+    [CFG, LinkageConfig(shuffle_partitions=4, driver_cc_edge_limit=0)],
+    ids=["driver-uf", "distributed-rounds"],
+)
+def test_connected_components_chain_and_star(cfg):
     edges = pa.table(
         {
             "src": pa.array([10, 20, 30, 100, 100], type=pa.int64()),
             "dst": pa.array([20, 30, 40, 101, 102], type=pa.int64()),
         }
     )
-    out = connected_components(rd.from_arrow(edges), CFG).take_all()
+    out = connected_components(rd.from_arrow(edges), cfg).take_all()
     labels = {r["node"]: r["cluster"] for r in out}
     assert labels[10] == labels[20] == labels[30] == labels[40] == 10
     assert labels[100] == labels[101] == labels[102] == 100
+
+
+def test_connected_components_plans_agree():
+    """Driver union-find and distributed min-label rounds produce identical
+    component labels on a random graph."""
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 300, 400).astype(np.int64)
+    dst = rng.integers(0, 300, 400).astype(np.int64)
+    keep = src != dst
+    edges = pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    a = connected_components(rd.from_arrow(edges), CFG).take_all()
+    b = connected_components(
+        rd.from_arrow(edges), LinkageConfig(shuffle_partitions=4, driver_cc_edge_limit=0)
+    ).take_all()
+    assert {(r["node"], r["cluster"]) for r in a} == {(r["node"], r["cluster"]) for r in b}
