@@ -75,12 +75,27 @@ def run_bench() -> dict:
     from entity_linking_ray.sources.synthetic import corpus_from_documents
     from entity_linking_ray.stages.common import default_partitions
 
-    corpus_path, n_files = _synth_corpus_path()
+    scaling_corpus = os.environ.get("BENCH_SCALING_CORPUS")
+    if scaling_corpus:
+        import pyarrow.parquet as _pq
+        import glob as _glob
+
+        corpus_path = scaling_corpus
+        n_files = sum(
+            _pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(scaling_corpus, "*.parquet"))
+        )
+    else:
+        corpus_path, n_files = _synth_corpus_path()
 
     # warm the page cache so we measure compute + shuffle, not first disk read
+    import glob
+
     import pyarrow.parquet as pq
 
-    pq.read_table(corpus_path)
+    for f in ([corpus_path] if os.path.isfile(corpus_path)
+              else glob.glob(os.path.join(corpus_path, "*.parquet"))):
+        pq.read_table(f)
     for t in ("lineitem", "events", "documents", "embeddings", "orders", "customer"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
@@ -103,6 +118,21 @@ def run_bench() -> dict:
 
     # --- secondary pipelines over the driver tables ---
     import ray.data as rd
+
+    if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
+        headline = timings["linkage_synth"]
+        result = {
+            "metric": "linkage_synth_sec",
+            "value": headline,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+            "n_files": n_files,
+            "files_per_sec": round(n_files / max(1e-9, headline), 1),
+        }
+        ray.shutdown()
+        return result
 
     timed("linkage_documents", lambda: link_dataset(
         rd.from_arrow(corpus_from_documents(SF_DIR)), cfg))
@@ -130,11 +160,30 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    # ensure the corpus cache exists before timing anything
-    _synth_corpus_path()
+
+    # scaling runs use a larger corpus (default 100k clusters ≈ 375k files,
+    # ~7 KB/file — generated in parallel once, cached): a bigger compute
+    # fraction per fixed shuffle latency gives an honest view of how the
+    # pipeline scales with workers
+    scaling_clusters = int(os.environ.get("SCALING_CLUSTERS", "100000"))
+    corpus_dir = f"/tmp/elr_bench/scaling_{scaling_clusters}_s6"
+    if not os.path.exists(os.path.join(corpus_dir, "chunk_00000.parquet")):
+        import ray
+
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from entity_linking_ray.sources.synthetic import generate_corpus_parquet
+
+        generate_corpus_parquet(corpus_dir, scaling_clusters, file_scale=6)
+        ray.shutdown()
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_HEADLINE_ONLY="1",
+            BENCH_SCALING_CORPUS=corpus_dir,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -89,7 +89,7 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
     import dataclasses
 
     n_rows = feats.count()
-    eff_parts = max(4, min(cfg.shuffle_partitions, -(-n_rows // 10_000)))
+    eff_parts = max(4, min(cfg.shuffle_partitions, -(-n_rows // 50_000)))
     cfg = dataclasses.replace(cfg, shuffle_partitions=eff_parts)
 
     tagged, reps, exact_edges = exact_collapse(feats, cfg)

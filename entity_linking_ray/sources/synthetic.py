@@ -281,6 +281,54 @@ def generate_corpus(spec: SynthSpec | None = None):
     return corpus, gold_tbl, pairs_tbl
 
 
+def generate_corpus_parquet(
+    out_dir: str,
+    n_clusters: int,
+    chunk_clusters: int = 5000,
+    seed: int = 42,
+    file_scale: int = 3,
+) -> int:
+    """Distributed corpus generation: one Ray task per chunk of clusters, each
+    writing its own parquet shard (natural read parallelism + resumable —
+    existing shards are skipped). Gold tables are not emitted (bench corpora
+    only need the rows); chunks are namespaced so row ids never collide.
+    Returns total rows. Deterministic in (seed, n_clusters, chunk_clusters,
+    file_scale)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_chunks = -(-n_clusters // chunk_clusters)
+
+    @ray.remote
+    def _gen(ci: int) -> int:
+        path = os.path.join(out_dir, f"chunk_{ci:05d}.parquet")
+        if os.path.exists(path):
+            return pq.read_metadata(path).num_rows
+        spec = SynthSpec(
+            n_clusters=min(chunk_clusters, n_clusters - ci * chunk_clusters),
+            seed=seed + 1000 * ci,
+            file_scale=file_scale,
+        )
+        corpus, _, _ = generate_corpus(spec)
+        # namespace repo so (repo, path, commit) keys are chunk-unique
+        import pyarrow.compute as _pc
+
+        repo = _pc.binary_join_element_wise(
+            pa.array([f"c{ci}"] * corpus.num_rows), corpus.column("repo").combine_chunks(), "/"
+        )
+        corpus = corpus.set_column(0, "repo", repo)
+        tmp = path + ".tmp"
+        pq.write_table(corpus, tmp, row_group_size=4096)
+        os.replace(tmp, path)
+        return corpus.num_rows
+
+    return sum(ray.get([_gen.remote(ci) for ci in range(n_chunks)]))
+
+
 def corpus_from_documents(sf_dir: str):
     """Map the driver's documents.parquet onto the input_hint corpus shape.
 

@@ -47,32 +47,35 @@ def exact_collapse(features, cfg: LinkageConfig):
     ).materialize()
 
     if rep_tbl.count() <= cfg.broadcast_feature_rows:
-        # broadcast plan: the rep map is ~70 B/distinct-sha — ray.put it once
-        # and attach rep_node with a per-batch dict lookup instead of
-        # re-shuffling the whole feature table through a hash join
+        # broadcast plan: the rep map is ~70 B/distinct-sha — each actor builds
+        # the lookup dict ONCE in __init__ from the shared block refs (the
+        # driver never assembles it; per-batch ray.get of a dict would
+        # unpickle it per batch)
         import ray
 
-        mapping: dict[str, int] = {}
-        for r in rep_tbl.to_arrow_refs():
-            t = ray.get(r)
-            mapping.update(zip(t.column("sha256").to_pylist(), t.column("rep_node").to_pylist()))
-        mref = ray.put(mapping)
+        rep_refs = rep_tbl.to_arrow_refs()
 
         class AttachRep:
-            """Actor-pool stage: the rep dict unpickles ONCE per actor in
-            __init__ (a plain task fn would ray.get + unpickle it per batch)."""
-
             def __init__(self):
-                self.m = ray.get(mref)
+                m: dict[str, int] = {}
+                for r in rep_refs:
+                    t = ray.get(r)
+                    if t.num_rows:
+                        m.update(zip(t.column("sha256").to_pylist(),
+                                     t.column("rep_node").to_pylist()))
+                self.m = m
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 m = self.m
                 reps_col = [m[s] for s in t.column("sha256").to_pylist()]
                 return t.append_column("rep_node", pa.array(reps_col, type=pa.int64()))
 
+        # lazy on purpose: both consumers re-map from the already-materialized
+        # feature table — two cheap lookup passes beat materializing another
+        # full copy of the features
         tagged = features.map_batches(
             AttachRep, batch_format="pyarrow", concurrency=(1, 8)
-        ).materialize()
+        )
     else:
         # scale plan: hash-shuffle join on sha256.
         # materialized either way: two consumers (reps filter + dup-edge

@@ -104,14 +104,22 @@ class FeaturizeStage:
 def featurize(ds, cfg: LinkageConfig):
     """Attach features via an actor pool (fn_constructor_args keeps cfg on the
     actor, not re-shipped per batch)."""
+    if cfg.featurize_concurrency is not None:
+        concurrency = cfg.featurize_concurrency
+    else:
+        # eager pool sized to the session: autoscaling from 1 pays the actor
+        # ramp serially at the head of every run; starting ~3/4 of the cores'
+        # worth of actors immediately overlaps spin-up with the read
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        lo = max(1, (3 * cpus) // 4)
+        concurrency = (lo, max(lo, cpus))
     return ds.map_batches(
         FeaturizeStage,
         batch_format="pyarrow",
         batch_size=cfg.featurize_batch_size,
         fn_constructor_args=(cfg,),
         num_cpus=1,
-        # autoscaling actor pool; min 1 so tiny test sessions work, max sized
-        # for one actor per core on a bench node (leaves headroom for the
-        # read/write stages — see guide on pool starvation)
-        concurrency=cfg.featurize_concurrency or (1, 24),
+        concurrency=concurrency,
     )

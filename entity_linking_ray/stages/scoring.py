@@ -141,25 +141,34 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    tbl = pa.concat_tables([ray.get(r) for r in proj.to_arrow_refs()])
+    # assemble the lookup arrays ONCE on the driver (fully vectorized — the
+    # varlen tokseq reorder is a single fancy-index gather) and ray.put the
+    # numpy tuple: plasma gets of numpy arrays are zero-copy mmaps, so the
+    # per-task ray.get below costs microseconds (unlike pickled dicts)
+    tables = [t for t in (ray.get(r) for r in proj.to_arrow_refs()) if t.num_rows > 0]
+    tbl = pa.concat_tables([t.select(["node", "sig", "emb", "tokseq"]) for t in tables])
     nodes = tbl.column("node").to_numpy()
     order = np.argsort(nodes)
     nodes = nodes[order]
-    num_perm = cfg.num_perm
-    sig = np.frombuffer(b"".join(tbl.column("sig").to_pylist()), dtype=np.uint32).reshape(-1, num_perm)[order]
+    sig = np.frombuffer(b"".join(tbl.column("sig").to_pylist()), dtype=np.uint32).reshape(-1, cfg.num_perm)[order]
     emb = np.frombuffer(b"".join(tbl.column("emb").to_pylist()), dtype=np.float32).reshape(-1, cfg.embed_dim)[order]
     toks = tbl.column("tokseq").to_pylist()
-    tok_lens = np.array([len(b) for b in toks], dtype=np.int64)
-    tok_off = np.zeros(len(toks) + 1, dtype=np.int64)
-    np.cumsum(tok_lens, out=tok_off[1:])
-    tok_blob_unordered = b"".join(toks)
-    # reorder the blob to node order
-    blob = np.frombuffer(tok_blob_unordered, dtype=np.uint8)
-    parts = [blob[tok_off[i]: tok_off[i + 1]] for i in order]
-    tok_off2 = np.zeros(len(parts) + 1, dtype=np.int64)
-    np.cumsum([p.shape[0] for p in parts], out=tok_off2[1:])
-    tok_blob = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
-    ref = ray.put((nodes, sig, emb, tok_blob, tok_off2))
+    lens = np.array([len(b) for b in toks], dtype=np.int64)
+    starts = np.zeros(lens.shape[0], dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    blob = np.frombuffer(b"".join(toks), dtype=np.uint8)
+    lens_o, starts_o = lens[order], starts[order]
+    off = np.zeros(lens_o.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens_o, out=off[1:])
+    total = int(off[-1])
+    if total:
+        gather = (np.arange(total, dtype=np.int64)
+                  - np.repeat(off[:-1], lens_o)
+                  + np.repeat(starts_o, lens_o))
+        tok_blob = blob[gather]
+    else:
+        tok_blob = np.empty(0, dtype=np.uint8)
+    ref = ray.put((nodes, sig, emb, tok_blob, off))
 
     def _score(batch: pa.Table) -> pa.Table:
         fnodes, fsig, femb, fblob, foff = ray.get(ref)
