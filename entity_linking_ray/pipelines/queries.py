@@ -714,6 +714,30 @@ def q_retrieval_rate(sf_dir: str):
     return pa.table(rows)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (the ANN scale path; rows-only — the
+    plan is approximate by design, recall vs brute force is unit-tested)."""
+    from ..stages.ann import ivf_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 20)), batch_format="pyarrow"
+    )
+    return ivf_topk(queries, emb, k=10, n_cells=8, n_probe=4)
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal binary-column pipeline: deterministic fake assets ->
+    actor-pool decode -> resize plan (rows-only; decode itself is stubbed,
+    the Ray plumbing is real — see stages/multimodal.py)."""
+    import ray.data
+
+    from ..stages.multimodal import decode_media, resize_plan, synth_assets
+
+    assets = ray.data.from_arrow(synth_assets(300))
+    return resize_plan(decode_media(assets, batch_size=32), max_side=224)
+
+
 # ---------------------------------------------------------------------------
 # Distributed connected components with a recursive-SQL oracle
 # ---------------------------------------------------------------------------
@@ -974,5 +998,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "retrieval_rate": q_retrieval_rate,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_decode": q_multimodal_decode,
     "cc_documents": q_cc_documents,
 }

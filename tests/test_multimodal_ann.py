@@ -1,0 +1,90 @@
+"""Tests: multimodal binary-column plumbing (stubbed decode) and ANN plans."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from entity_linking_ray.stages.ann import brute_force_topk, ivf_topk
+from entity_linking_ray.stages.multimodal import (
+    FakeDecoder,
+    RealDecoder,
+    decode_media,
+    embed_media,
+    frame_sample,
+    pack_fake_asset,
+    resize_plan,
+    synth_assets,
+    unpack_fake_header,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fake_asset_roundtrip():
+    p = pack_fake_asset("video", 7, 320, 240, 30)
+    kind, a, b, c, seed = unpack_fake_header(p)
+    assert (kind, a, b, c, seed) == ("video", 320, 240, 30, 7)
+
+
+def test_real_decoder_is_cleanly_stubbed():
+    with pytest.raises(NotImplementedError):
+        RealDecoder()
+
+
+def test_decode_media_actor_pool():
+    assets = synth_assets(30)
+    out = decode_media(rd.from_arrow(assets), batch_size=8).materialize()
+    rows = out.take_all()
+    assert len(rows) == 30
+    assert all("payload" not in r for r in rows)  # bytes dropped after decode
+    for r in rows:
+        assert r["kind"] == r["kind_decoded"]
+        assert r["height"] >= 1 and r["width"] >= 1 and r["n_frames"] >= 1
+    # determinism: second run identical
+    rows2 = decode_media(rd.from_arrow(assets), batch_size=8).materialize().take_all()
+    assert sorted((r["asset_id"], r["mean_value"]) for r in rows) == sorted(
+        (r["asset_id"], r["mean_value"]) for r in rows2
+    )
+
+
+def test_embed_resize_framesample():
+    assets = synth_assets(30)
+    emb = embed_media(rd.from_arrow(assets)).materialize()
+    for r in emb.take_all():
+        v = np.frombuffer(r["media_emb"], dtype=np.float32)
+        assert v.shape[0] == 64 and abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+    decoded = decode_media(rd.from_arrow(assets)).materialize()
+    plan = resize_plan(decoded, max_side=128).take_all()
+    for r in plan:
+        assert max(r["target_h"], r["target_w"]) <= 128
+
+    frames = frame_sample(decoded, every_k=7).take_all()
+    assert len(frames) > 0
+    vids = {r["asset_id"]: r["n_frames"] for r in decoded.take_all() if r["kind_decoded"] == "video"}
+    import collections
+
+    per_asset = collections.Counter(r["asset_id"] for r in frames)
+    for aid, n in per_asset.items():
+        assert n == -(-vids[aid] // 7)
+
+
+def test_ivf_recall_vs_brute_force():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = emb.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 30)), batch_format="pyarrow"
+    )
+    bf = brute_force_topk(queries, emb, k=10).take_all()
+    ivf = ivf_topk(queries, emb, k=10, n_cells=8, n_probe=4).take_all()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert np.mean(recalls) >= 0.5, f"IVF recall too low: {np.mean(recalls):.2f}"

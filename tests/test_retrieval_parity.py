@@ -1,0 +1,91 @@
+"""Reference-parity tests: candidate retrieval (eval_zeshel.py:38-53
+semantics) and the mention-context windower (zeshel_dataset.py:62-76)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from entity_linking_ray.config import LinkageConfig
+from entity_linking_ray.functions.text import token_hashes
+from entity_linking_ray.functions.window import (
+    MENTION_END,
+    MENTION_START,
+    entity_text_compose,
+    mention_context_window,
+)
+from entity_linking_ray.pipelines.evaluate import retrieval_rate
+from entity_linking_ray.sources.synthetic import SynthSpec, generate_corpus
+from entity_linking_ray.stages.encoder import HashingEncoder
+
+
+def test_mention_window_reference_semantics():
+    text = " ".join(f"w{i}" for i in range(100))
+    # mention = words 50..52 (inclusive), context 10
+    win = mention_context_window(text, 50, 52, context_size=10)
+    # budget = 10 - 2 - 3 = 5 -> keep_left 2, keep_right 3
+    assert win == [
+        "w48", "w49", MENTION_START, "w50", "w51", "w52", MENTION_END,
+        "w53", "w54", "w55",
+    ]
+
+
+def test_mention_window_edges():
+    # at text start: no left context, all budget spills right of the kept span
+    win = mention_context_window("a b c d e f", 0, 0, context_size=5)
+    assert win[0] == MENTION_START and win[1] == "a" and win[2] == MENTION_END
+    # lowercasing mirrors zeshel_dataset.py:65
+    assert mention_context_window("Hello World", 0, 0, context_size=4)[1] == "hello"
+
+
+def test_entity_compose():
+    words = entity_text_compose("My Title", "Some body text", max_words=5)
+    assert words == ["my", "title", "|", "some", "body"]
+
+
+def test_retrieval_rate_mirrors_reference():
+    """Variants (mentions) retrieve their original (entity) in top-k: the
+    zero-shot candidate-retrieval measurement of the reference, computed over
+    Datasets with the deterministic encoder."""
+    corpus, gold, _ = generate_corpus(SynthSpec(n_clusters=40))
+    enc = HashingEncoder()
+    contents = corpus.column("content").to_pylist()
+    gold_cluster = gold.column("gold_cluster").to_pylist()
+
+    # entity side: first row (original) of each cluster; query side: the rest
+    seen = {}
+    ents, qs = [], []
+    for i, gc in enumerate(gold_cluster):
+        if gc not in seen:
+            seen[gc] = i
+            ents.append(i)
+        else:
+            qs.append(i)
+    emb = enc.embed_token_hashes([token_hashes(c) for c in contents])
+
+    cand_tbl = pa.table({
+        "cand_id": pa.array([gold_cluster[i] for i in ents], type=pa.int64()),
+        "emb": pa.array([emb[i].tobytes() for i in ents], type=pa.binary()),
+    })
+    # store embeddings as list<float> for the generic op
+    def to_ds(ids, rows, gold_ids=None):
+        cols = {
+            "cand_id" if gold_ids is None else "mention_id": pa.array(ids, type=pa.int64()),
+            "emb": pa.array([emb[i].tolist() for i in rows]),
+        }
+        if gold_ids is not None:
+            cols["gold_id"] = pa.array(gold_ids, type=pa.int64())
+        return rd.from_arrow(pa.table(cols))
+
+    cands = to_ds([gold_cluster[i] for i in ents], ents)
+    queries = to_ds(list(range(len(qs))), qs, [gold_cluster[i] for i in qs])
+
+    rates = retrieval_rate(queries, cands, ks=(1, 4, 8, 16, 32, 64))
+    # near-duplicate variants must retrieve their original nearly always even
+    # at k=1 with the deterministic encoder; always by k=64
+    assert rates[1] >= 0.9, rates
+    assert rates[64] >= 0.99, rates
+    # monotone in k, like the reference's published curves
+    ks = sorted(rates)
+    assert all(rates[a] <= rates[b] for a, b in zip(ks, ks[1:]))
