@@ -1,0 +1,69 @@
+"""Checkpoint / resume contract: kill-and-resume produces byte-identical
+clusters; config changes invalidate stale checkpoints."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from entity_linking_ray.config import LinkageConfig
+from entity_linking_ray.pipelines.linkage import link_dataset
+from entity_linking_ray.sources.synthetic import SynthSpec, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume")
+    corpus, _, _ = generate_corpus(SynthSpec(n_clusters=30))
+    p = str(d / "corpus.parquet")
+    pq.write_table(corpus, p)
+    return p
+
+
+def _clusters(out):
+    return sorted((r["row_id"], r["cluster"]) for r in out.materialize().take_all())
+
+
+def test_full_and_partial_resume_identical(corpus_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    cfg = LinkageConfig(shuffle_partitions=4)
+    base = _clusters(link_dataset(corpus_path, cfg, checkpoint_dir=ckpt))
+    manifests = sorted(os.listdir(ckpt))
+    assert manifests == ["clusters", "edges", "features", "linked"]
+    for stage in manifests:
+        assert os.path.exists(os.path.join(ckpt, stage, "_MANIFEST.json"))
+
+    # full resume: all stages loaded from manifests
+    again = _clusters(link_dataset(corpus_path, cfg, checkpoint_dir=ckpt))
+    assert again == base
+
+    # kill-and-resume: wipe the tail stages, recompute only those
+    shutil.rmtree(os.path.join(ckpt, "clusters"))
+    shutil.rmtree(os.path.join(ckpt, "linked"))
+    resumed = _clusters(link_dataset(corpus_path, cfg, checkpoint_dir=ckpt))
+    assert resumed == base
+
+    # interrupted write: a dangling tmp dir must not be mistaken for a stage
+    os.makedirs(os.path.join(ckpt, "edges.tmp"), exist_ok=True)
+    resumed2 = _clusters(link_dataset(corpus_path, cfg, checkpoint_dir=ckpt))
+    assert resumed2 == base
+
+
+def test_config_change_invalidates_checkpoint(corpus_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    cfg = LinkageConfig(shuffle_partitions=4)
+    _clusters(link_dataset(corpus_path, cfg, checkpoint_dir=ckpt))
+    import json
+
+    with open(os.path.join(ckpt, "features", "_MANIFEST.json")) as f:
+        m1 = json.load(f)
+    assert m1["config_hash"] == cfg.config_hash()
+
+    cfg2 = LinkageConfig(shuffle_partitions=4, tau_jaccard=0.7)
+    _clusters(link_dataset(corpus_path, cfg2, checkpoint_dir=ckpt))
+    with open(os.path.join(ckpt, "features", "_MANIFEST.json")) as f:
+        m2 = json.load(f)
+    assert m2["config_hash"] == cfg2.config_hash() != m1["config_hash"]
