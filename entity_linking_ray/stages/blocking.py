@@ -211,26 +211,72 @@ def candidate_pairs(salted_rows, cfg: LinkageConfig):
             })
         )
 
-    left = salted_rows.map_batches(
-        lambda t: t.rename_columns(["band_key", "src"]), batch_format="pyarrow"
-    )
-    right = salted_rows.map_batches(
-        lambda t: t.rename_columns(["band_key", "dst"]), batch_format="pyarrow"
-    )
-    joined = safe_join(
-        left, right, join_type="inner",
-        num_partitions=cfg.shuffle_partitions, on=("band_key",),
-    )
+    cap = cfg.max_block_size
+    P = cfg.shuffle_partitions
 
-    def _tri(t: pa.Table) -> pa.Table:
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        dst = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = src < dst
-        cols = {c: t.column(c).to_numpy(zero_copy_only=False)[keep]
-                for c in ("src", "dst", "band_key")}
-        return pa.table({k: pa.array(v) for k, v in cols.items()})
+    def _add_part(t: pa.Table) -> pa.Table:
+        bk = t.column("band_key").to_numpy(zero_copy_only=False)
+        part = (splitmix64(bk.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
 
-    pairs = joined.map_batches(_tri, batch_format="pyarrow")
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        # all rows of every band key hashed to this bucket: sort once, then
+        # generate all within-block (i < j) pairs with pure segment math —
+        # zero Python per block
+        k = t.column("band_key").to_numpy(zero_copy_only=False)
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, k))
+        k, n = k[order], n[order]
+        m = k.shape[0]
+        if m < 2:
+            return pa.table({
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "band_key": pa.array([], type=pa.int64()),
+            })
+        new_block = np.empty(m, dtype=bool)
+        new_block[0] = True
+        np.not_equal(k[1:], k[:-1], out=new_block[1:])
+        starts = np.flatnonzero(new_block)
+        block_id = np.cumsum(new_block) - 1
+        pos = np.arange(m) - starts[block_id]
+        # hard cap: deterministic (node-sorted) truncation of oversize blocks
+        keep = pos < cap
+        if not keep.all():
+            k, n = k[keep], n[keep]
+            m = k.shape[0]
+            new_block = np.empty(m, dtype=bool)
+            new_block[0] = True
+            np.not_equal(k[1:], k[:-1], out=new_block[1:])
+            starts = np.flatnonzero(new_block)
+            block_id = np.cumsum(new_block) - 1
+            pos = np.arange(m) - starts[block_id]
+        total = int(pos.sum())
+        if total == 0:
+            return pa.table({
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "band_key": pa.array([], type=pa.int64()),
+            })
+        # row r at in-block position p pairs with the p earlier rows of its block
+        later = np.repeat(np.arange(m), pos)
+        seg_ofs = np.zeros(m, dtype=np.int64)
+        np.cumsum(pos[:-1], out=seg_ofs[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_ofs, pos)
+        earlier = np.repeat(starts[block_id], pos) + within
+        return pa.table({
+            "src": pa.array(n[earlier]),  # node-sorted => src < dst
+            "dst": pa.array(n[later]),
+            "band_key": pa.array(k[later]),
+        })
+
+    pairs = (
+        salted_rows.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda t: _bucket_pairs(t.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
     return scrub_empty_blocks(
         partitioned_aggregate(
             pairs,

@@ -19,10 +19,26 @@ from ..config import LinkageConfig
 from .common import partitioned_aggregate, safe_join, scrub_empty_blocks
 
 
+def _edges_from_tagged(t: pa.Table) -> pa.Table:
+    dup = t.filter(pc.not_equal(t["node"], t["rep_node"]))
+    n = dup.num_rows
+    return pa.table(
+        {
+            "src": dup.column("rep_node"),
+            "dst": dup.column("node"),
+            "score": pa.array([1.0] * n, type=pa.float64()),
+            "kind": pa.array(["exact"] * n, type=pa.string()),
+            "matched": pa.array([True] * n, type=pa.bool_()),
+            "block_key": pa.array([0] * n, type=pa.int64()),
+        }
+    )
+
+
 def exact_collapse(features, cfg: LinkageConfig):
     """features -> (tagged, reps, exact_edges).
 
-    - tagged: features + ``rep_node`` (min node of the row's sha256 group)
+    - tagged: features + ``rep_node`` — ONLY on the join (scale) plan; the
+      broadcast plan returns None (nothing downstream needs it)
     - reps: one representative row per distinct sha256 (node == rep_node)
     - exact_edges: (src=rep_node, dst=node, score=1.0, kind='exact') for dups
     """
@@ -47,13 +63,30 @@ def exact_collapse(features, cfg: LinkageConfig):
     ).materialize()
 
     if rep_tbl.count() <= cfg.broadcast_feature_rows:
-        # broadcast plan: the rep map is ~70 B/distinct-sha — each actor builds
-        # the lookup dict ONCE in __init__ from the shared block refs (the
-        # driver never assembles it; per-batch ray.get of a dict would
-        # unpickle it per batch)
+        # broadcast plan, two cheap passes instead of a join:
+        # - reps: membership filter against the sorted rep-node array
+        #   (numpy via plasma = zero-copy per task)
+        # - exact edges: sha->rep dict built once per actor (AttachRep), rows
+        #   with node != rep only
+        import numpy as np
+
         import ray
 
         rep_refs = rep_tbl.to_arrow_refs()
+        rep_nodes = np.sort(np.concatenate([
+            t.column("rep_node").to_numpy()
+            for t in (ray.get(r) for r in rep_refs) if t.num_rows
+        ]))
+        nref = ray.put(rep_nodes)
+
+        def _is_rep(t: pa.Table) -> pa.Table:
+            rn = ray.get(nref)
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(rn, node)
+            idx[idx >= rn.shape[0]] = 0
+            return t.filter(pa.array(rn[idx] == node))
+
+        reps = features.map_batches(_is_rep, batch_format="pyarrow", zero_copy_batch=True)
 
         class AttachRep:
             def __init__(self):
@@ -70,12 +103,12 @@ def exact_collapse(features, cfg: LinkageConfig):
                 reps_col = [m[s] for s in t.column("sha256").to_pylist()]
                 return t.append_column("rep_node", pa.array(reps_col, type=pa.int64()))
 
-        # lazy on purpose: both consumers re-map from the already-materialized
-        # feature table — two cheap lookup passes beat materializing another
-        # full copy of the features
-        tagged = features.map_batches(
-            AttachRep, batch_format="pyarrow", concurrency=(1, 8)
-        )
+        dup_tagged = features.map_batches(
+            lambda t: t.select(["sha256", "node"]), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(AttachRep, batch_format="pyarrow", concurrency=(1, 8))
+        exact_edges = dup_tagged.map_batches(_edges_from_tagged, batch_format="pyarrow")
+        return None, reps, exact_edges
     else:
         # scale plan: hash-shuffle join on sha256.
         # materialized either way: two consumers (reps filter + dup-edge
@@ -92,20 +125,5 @@ def exact_collapse(features, cfg: LinkageConfig):
         lambda t: t.filter(pc.equal(t["node"], t["rep_node"])),
         batch_format="pyarrow",
     )
-
-    def _edges(t: pa.Table) -> pa.Table:
-        dup = t.filter(pc.not_equal(t["node"], t["rep_node"]))
-        n = dup.num_rows
-        return pa.table(
-            {
-                "src": dup.column("rep_node"),
-                "dst": dup.column("node"),
-                "score": pa.array([1.0] * n, type=pa.float64()),
-                "kind": pa.array(["exact"] * n, type=pa.string()),
-                "matched": pa.array([True] * n, type=pa.bool_()),
-                "block_key": pa.array([0] * n, type=pa.int64()),
-            }
-        )
-
-    exact_edges = tagged.map_batches(_edges, batch_format="pyarrow")
+    exact_edges = tagged.map_batches(_edges_from_tagged, batch_format="pyarrow")
     return tagged, reps, exact_edges

@@ -152,26 +152,20 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
     nodes = nodes[order]
     sig = np.frombuffer(b"".join(tbl.column("sig").to_pylist()), dtype=np.uint32).reshape(-1, cfg.num_perm)[order]
     emb = np.frombuffer(b"".join(tbl.column("emb").to_pylist()), dtype=np.float32).reshape(-1, cfg.embed_dim)[order]
+    # the blob stays in ARRIVAL order — reordering 100s of MB byte-wise costs
+    # tens of seconds in giant temporaries; instead each sorted position
+    # carries its (start, len) into the original blob
     toks = tbl.column("tokseq").to_pylist()
     lens = np.array([len(b) for b in toks], dtype=np.int64)
     starts = np.zeros(lens.shape[0], dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     blob = np.frombuffer(b"".join(toks), dtype=np.uint8)
-    lens_o, starts_o = lens[order], starts[order]
-    off = np.zeros(lens_o.shape[0] + 1, dtype=np.int64)
-    np.cumsum(lens_o, out=off[1:])
-    total = int(off[-1])
-    if total:
-        gather = (np.arange(total, dtype=np.int64)
-                  - np.repeat(off[:-1], lens_o)
-                  + np.repeat(starts_o, lens_o))
-        tok_blob = blob[gather]
-    else:
-        tok_blob = np.empty(0, dtype=np.uint8)
-    ref = ray.put((nodes, sig, emb, tok_blob, off))
+    tok_start = starts[order]
+    tok_len = lens[order]
+    ref = ray.put((nodes, sig, emb, blob, tok_start, tok_len))
 
     def _score(batch: pa.Table) -> pa.Table:
-        fnodes, fsig, femb, fblob, foff = ray.get(ref)
+        fnodes, fsig, femb, fblob, fstart, flen = ray.get(ref)
         n = batch.num_rows
         if n == 0:
             return pa.table({
@@ -196,8 +190,10 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
         lev = np.zeros(n)
         if borderline.any():
             for i in np.flatnonzero(borderline):
-                a = fblob[foff[ia[i]]: foff[ia[i] + 1]].view(np.uint32)
-                b = fblob[foff[ib[i]]: foff[ib[i] + 1]].view(np.uint32)
+                sa, la = fstart[ia[i]], flen[ia[i]]
+                sb, lb = fstart[ib[i]], flen[ib[i]]
+                a = np.ascontiguousarray(fblob[sa: sa + la]).view(np.uint32)
+                b = np.ascontiguousarray(fblob[sb: sb + lb]).view(np.uint32)
                 lev[i] = token_levenshtein_ratio(a, b)
             matched = matched | (borderline & (lev >= cfg.tau_lev))
         score = np.maximum(np.maximum(jac, dot), lev)
