@@ -360,6 +360,102 @@ def q_asof_events_orders(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_sessionize_events(sf_dir: str):
+    """Gap-based session windows (30 min) per user — the stream-shaped
+    stateful op Ray Data expresses as groupby(key).map_groups over ts-sorted
+    groups (see ray guide 'streaming-shaped workloads'). Oracle: lag() +
+    running sum window functions."""
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new_s = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = new_s.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+        )
+        out["session_id"] = out.index.astype(np.int64)
+        # DuckDB date_diff('second', a, b) counts second BOUNDARIES crossed,
+        # i.e. trunc-to-second difference — not elapsed seconds
+        out["duration_sec"] = (
+            (out["session_end"].dt.floor("s") - out["session_start"].dt.floor("s"))
+            .dt.total_seconds()
+            .astype(np.int64)
+        )
+        return out[["user_id", "session_id", "session_start", "n_events", "duration_sec"]]
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_revenue_per_segment(sf_dir: str):
+    """Three-way join: lineitem ⋈ orders (hash-shuffle) ⋈ customer (broadcast
+    dimension) -> revenue per market segment (integer-cents exact)."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_tbl = pa.concat_tables([ray.get(r) for r in cust.to_arrow_refs()])
+    ck = cust_tbl.column("c_custkey").to_numpy()
+    order_ = np.argsort(ck)
+    segs = np.asarray(cust_tbl.column("c_mktsegment").to_pylist(), dtype=object)[order_]
+    lut = ray.put((ck[order_], segs))
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _cents(r)})
+
+    li_rev = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    joined = safe_join(
+        li_rev, orders, join_type="inner", num_partitions=NPART,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def seg(t: pa.Table) -> pa.Table:
+        k, s = ray.get(lut)
+        cust_keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, cust_keys)
+        idx[idx >= k.shape[0]] = 0
+        hit = k[idx] == cust_keys
+        out = pa.table({
+            "c_mktsegment": pa.array([s[i] for i in idx], type=pa.string()),
+            "rev_c": t["rev_c"],
+        })
+        return out.filter(pa.array(hit))
+
+    out = joined.map_batches(seg, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(Sum("rev_c", alias_name="rev_c"),
+                                           Count(alias_name="n_items"))
+    return scrub_empty_blocks(out).map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_items": t["n_items"],
+            "revenue": pc.round(
+                pc.divide(t.column("rev_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_median_quantity(sf_dir: str):
+    """Per-group exact median (continuous interpolation — matches DuckDB
+    median()) via groupby.map_groups."""
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "median_qty": [round(float(g["l_quantity"].median()), 4)],
+            "n": [np.int64(len(g))],
+        })
+
+    return li.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+
+
 def q_dedup_documents_exact(sf_dir: str):
     """Exact dedup by sha256 (D1: transform_zeshel.py:29-31 dict-insertion
     dedup; here groupby-min, the distributed equivalent)."""
@@ -555,19 +651,15 @@ def q_minhash_near_dup(sf_dir: str):
             "doc_id": pa.array(np.repeat(ids, nb)),
         })
 
+    from ..stages.blocking import bucketed_pairs
+
     band_rows = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.shape[0] < 2 or ids.shape[0] > 64:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        i, j = np.triu_indices(ids.shape[0], k=1)
-        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
-
-    cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
-    cand = scrub_empty_blocks(
-        cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    cand = bucketed_pairs(
+        band_rows.map_batches(
+            lambda t: t.rename_columns(["band_key", "node"]), batch_format="pyarrow"
+        ),
+        key_col="band_key", id_col="node", cap=64, num_partitions=NPART,
+        out_cols=("doc_a", "doc_b", "first_band"),
     )
 
     texts = {}
@@ -879,6 +971,39 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "sessionize_events": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, min(ts) AS session_start,
+               count(*) AS n_events,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "revenue_per_segment": """
+        SELECT c.c_mktsegment, count(*) AS n_items,
+               round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "median_quantity": """
+        SELECT l_returnflag, round(median(l_quantity), 4) AS median_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "asof_events_orders": """
         WITH o AS (
             SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -986,6 +1111,9 @@ QUERIES = {
     "distinct_flag_status": q_distinct_flag_status,
     "union_limit": q_union_limit,
     "windowed_events": q_windowed_events,
+    "sessionize_events": q_sessionize_events,
+    "revenue_per_segment": q_revenue_per_segment,
+    "median_quantity": q_median_quantity,
     "asof_events_orders": q_asof_events_orders,
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,

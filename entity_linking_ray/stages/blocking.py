@@ -211,11 +211,23 @@ def candidate_pairs(salted_rows, cfg: LinkageConfig):
             })
         )
 
-    cap = cfg.max_block_size
-    P = cfg.shuffle_partitions
+    return bucketed_pairs(
+        salted_rows, key_col="band_key", id_col="node",
+        cap=cfg.max_block_size, num_partitions=cfg.shuffle_partitions,
+        out_cols=("src", "dst", "block_key"),
+    )
+
+
+def bucketed_pairs(rows, key_col: str, id_col: str, cap: int, num_partitions: int,
+                   out_cols=("src", "dst", "block_key")):
+    """All within-block (i < j) unique pairs of ``rows (key, id)`` — the
+    reusable vectorized pair generator behind candidate_pairs (see its
+    docstring for the plan)."""
+    P = num_partitions
+    src_name, dst_name, bk_name = out_cols
 
     def _add_part(t: pa.Table) -> pa.Table:
-        bk = t.column("band_key").to_numpy(zero_copy_only=False)
+        bk = t.column(key_col).to_numpy(zero_copy_only=False)
         part = (splitmix64(bk.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
         return t.append_column("__part", pa.array(part))
 
@@ -223,8 +235,8 @@ def candidate_pairs(salted_rows, cfg: LinkageConfig):
         # all rows of every band key hashed to this bucket: sort once, then
         # generate all within-block (i < j) pairs with pure segment math —
         # zero Python per block
-        k = t.column("band_key").to_numpy(zero_copy_only=False)
-        n = t.column("node").to_numpy(zero_copy_only=False)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        n = t.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((n, k))
         k, n = k[order], n[order]
         m = k.shape[0]
@@ -271,17 +283,23 @@ def candidate_pairs(salted_rows, cfg: LinkageConfig):
         })
 
     pairs = (
-        salted_rows.map_batches(_add_part, batch_format="pyarrow")
+        rows.map_batches(_add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(
             lambda t: _bucket_pairs(t.drop_columns(["__part"])), batch_format="pyarrow"
         )
     )
-    return scrub_empty_blocks(
+    deduped = scrub_empty_blocks(
         partitioned_aggregate(
             pairs,
             ["src", "dst"],
-            [("band_key", "min", "block_key")],
-            num_partitions=cfg.shuffle_partitions,
+            [("band_key", "min", "__bk")],
+            num_partitions=P,
         )
+    )
+    return deduped.map_batches(
+        lambda t: t.select(["src", "dst", "__bk"]).rename_columns(
+            [src_name, dst_name, bk_name]
+        ),
+        batch_format="pyarrow",
     )
