@@ -22,6 +22,10 @@ class LinkageConfig:
     embed_dim: int = 128  # reference projects 768 -> 128 (bi_encoder.py:36-37)
     shingle_w: int = 5  # tokens per shingle
     num_perm: int = 128  # MinHash permutations
+    # "oph": one-permutation hashing + rotation densification (1 memory pass;
+    # see functions.hashing.oph_signatures); "kmin": classic per-permutation
+    # keyed mixers (num_perm passes — bandwidth-bound on one node)
+    minhash: str = "oph"
     tokseq_cap: int = 256  # token-hash prefix kept for Levenshtein fallback
 
     # --- blocking (LSH) ---

@@ -129,6 +129,61 @@ def minhash_signatures(
     return sig
 
 
+def oph_signatures(
+    shingle_hashes: list[np.ndarray], num_perm: int, seed: int
+) -> np.ndarray:
+    """(n_rows, num_perm) uint32 one-permutation-hashing MinHash signatures.
+
+    Classic k-min MinHash (``minhash_signatures``) streams every shingle
+    through ``num_perm`` keyed mixers — ~num_perm full memory passes per
+    batch, which saturates a single node's memory bandwidth long before its
+    cores (the measured reason featurize scaled only ~2.4x from 8->32 CPUs).
+    OPH ("One permutation hashing", Li/Owen/Zhang, NeurIPS 2012) hashes each
+    shingle ONCE, buckets it into ``num_perm`` bins by its low bits, and
+    takes the per-bin minimum of the high 32 bits; empty bins borrow the
+    nearest non-empty bin to the right, cyclically (rotation densification,
+    Shrivastava & Li 2014) so band keys stay well-defined for short rows.
+    ~1/num_perm of the memory traffic; the matching-bin fraction remains an
+    unbiased Jaccard estimator.
+
+    Deterministic per row (independent of batch composition / parallelism).
+    """
+    n = len(shingle_hashes)
+    SENT = np.uint32(0xFFFFFFFF)
+    sig = np.full((n, num_perm), SENT, dtype=np.uint32)
+    lens = np.array([h.shape[0] for h in shingle_hashes], dtype=np.int64)
+    if not (lens > 0).any():
+        return sig
+    key = np.uint64(0xA076_1D64_78BD_642F) ^ (
+        splitmix64(np.array([seed], dtype=np.uint64))[0]
+    )
+    flat = np.concatenate([h for h in shingle_hashes if h.shape[0] > 0])
+    h = splitmix64(flat ^ key)
+    bins = (h % np.uint64(num_perm)).astype(np.int64)
+    vals = (h >> np.uint64(32)).astype(np.uint32)
+    rows = np.repeat(np.flatnonzero(lens > 0), lens[lens > 0])
+    combined = rows * num_perm + bins
+    order = np.argsort(combined, kind="stable")
+    combined = combined[order]
+    vals = vals[order]
+    starts = np.flatnonzero(np.diff(combined, prepend=combined[0] - 1))
+    mins = np.minimum.reduceat(vals, starts)
+    sig.ravel()[combined[starts]] = mins
+
+    if (sig == SENT).any():
+        # rotation densification: nearest non-empty bin to the right, cyclic
+        two = np.concatenate([sig, sig], axis=1)
+        b2 = 2 * num_perm
+        idx = np.arange(b2)
+        cand = np.where(two != SENT, idx, b2)
+        nxt = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1][:, :num_perm]
+        has_any = nxt[:, 0] < b2  # rows with at least one non-empty bin
+        src = np.minimum(nxt, b2 - 1)
+        filled = np.take_along_axis(two, src, axis=1)
+        sig = np.where(has_any[:, None], filled, sig)
+    return sig
+
+
 def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     """(n_rows, bands) int64 LSH band keys from (n_rows, num_perm) signatures.
 

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import LinkageConfig
-from ..stages.blocking import block_stats, candidate_pairs, explode_bands, filter_and_salt
+from ..stages.blocking import lsh_candidate_pairs
 from ..stages.cluster import connected_components
 from ..stages.exact import exact_collapse
 from ..stages.featurize import featurize
@@ -44,8 +44,15 @@ def read_corpus(path_or_ds, columns=("repo", "path", "commit", "lang", "content"
 
 
 def attach_clusters(features, clusters, cfg: LinkageConfig):
-    """features ⟕ clusters; rows in no component cluster to themselves."""
-    if clusters.count() == 0:
+    """features ⟕ clusters; rows in no component cluster to themselves.
+
+    The cluster map holds one 16-byte row per CLUSTERED node — orders of
+    magnitude smaller than the corpus — so below ``broadcast_key_limit`` it
+    is broadcast as two sorted numpy arrays and attached with a zero-shuffle
+    ``searchsorted`` lookup; above it, a left-outer hash join (scale plan).
+    """
+    n_clustered = clusters.count()
+    if n_clustered == 0:
         # all-singletons corpus: a join against an empty right side crashes
         # acero (0-column partitions) — just label every row with itself
         return features.map_batches(
@@ -53,6 +60,31 @@ def attach_clusters(features, clusters, cfg: LinkageConfig):
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+
+    if n_clustered <= cfg.broadcast_key_limit:
+        import numpy as np
+
+        import ray
+
+        tabs = [
+            t for t in (ray.get(r) for r in clusters.to_arrow_refs()) if t.num_rows
+        ]
+        nodes = np.concatenate([t.column("node").to_numpy() for t in tabs])
+        labels = np.concatenate([t.column("cluster").to_numpy() for t in tabs])
+        order = np.argsort(nodes)
+        ref = ray.put((nodes[order], labels[order]))
+
+        def _attach(t: pa.Table) -> pa.Table:
+            cn, cl = ray.get(ref)
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(cn, node)
+            idx[idx >= cn.shape[0]] = 0
+            hit = cn[idx] == node
+            out = np.where(hit, cl[idx], node)
+            return t.append_column("cluster", pa.array(out))
+
+        return features.map_batches(_attach, batch_format="pyarrow", zero_copy_batch=True)
+
     out = safe_join(
         features,
         clusters,
@@ -82,29 +114,26 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
         "features", ["input"], lambda: featurize(fingerprint(ds), cfg)
     )
 
-    # size shuffle partitions to the actual row volume: each hash-shuffle
-    # partition costs an aggregator actor per operator, which dominates wall
-    # time on small inputs; cfg.shuffle_partitions stays the ceiling at scale.
-    # (Partition count never affects results — cluster ids are min-node.)
+    # size shuffle partitions to the row volume (capped by
+    # cfg.shuffle_partitions, which callers set to ~the CPU count): reduce
+    # parallelism then grows with both data AND workers, while tiny inputs
+    # avoid paying per-partition spin-up. (Partition count never affects
+    # results — cluster ids are min-node.)
     import dataclasses
 
     n_rows = feats.count()
-    eff_parts = max(4, min(cfg.shuffle_partitions, -(-n_rows // 50_000)))
+    eff_parts = max(4, min(cfg.shuffle_partitions, -(-n_rows // 20_000)))
     cfg = dataclasses.replace(cfg, shuffle_partitions=eff_parts)
 
-    tagged, reps, exact_edges = exact_collapse(feats, cfg)
-
-    # band rows and stats are consumed by several lazy consumers (stats pass,
-    # broadcast filter, salting) — pin the tiny 16-byte rows once
-    band_rows = explode_bands(reps, cfg).materialize()
-    stats = block_stats(band_rows).materialize()
-    salted, n_hot = filter_and_salt(band_rows, stats, cfg)
-    # pairs are compact (24 B/row); pinning lets us cheaply detect the
-    # no-candidates case — a zero-block dataset entering a hash join loses its
-    # schema and crashes acero with 0-column partitions
-    pairs = candidate_pairs(salted, cfg).materialize()
-
     def _edges():
+        # the whole blocking section lives INSIDE the closure so a resumed
+        # run with a complete 'edges' checkpoint never re-executes pair
+        # generation (historically ~70% of wall time)
+        _tagged, reps, exact_edges = exact_collapse(feats, cfg)
+        # pairs are compact (24 B/row); pinning lets us cheaply detect the
+        # no-candidates case — a zero-block dataset entering a hash join
+        # loses its schema and crashes acero with 0-column partitions
+        pairs = lsh_candidate_pairs(reps, cfg).materialize()
         if pairs.count() == 0:
             return filter_edges(exact_edges, cfg)
         lsh_edges = score_edges(pairs, feats, cfg)

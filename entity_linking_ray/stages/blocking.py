@@ -46,7 +46,32 @@ from .common import partitioned_aggregate, safe_join, scrub_empty_blocks
 _HOT_COLLECT_LIMIT = 1_000_000
 
 
-def _sig_matrix(sig_col: list[bytes], num_perm: int) -> np.ndarray:
+def _sig_matrix(sig_col, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint32 matrix from a fixed-width Binary column.
+
+    Accepts a pyarrow (Chunked)Array — flattened via Arrow buffers, no
+    per-row python bytes — or a plain list[bytes] (legacy callers/tests)."""
+    if isinstance(sig_col, (pa.ChunkedArray, pa.Array)):
+        a = (
+            sig_col.combine_chunks()
+            if isinstance(sig_col, pa.ChunkedArray)
+            else sig_col
+        )
+        if len(a) == 0:
+            return np.empty((0, num_perm), dtype=np.uint32)
+        off_dtype = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+        off = np.frombuffer(a.buffers()[1], dtype=off_dtype)[
+            a.offset: a.offset + len(a) + 1
+        ]
+        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+        flat = data[off[0]: off[-1]]
+        if flat.shape[0] % (4 * num_perm):  # varying widths: fall back
+            return np.frombuffer(
+                b"".join(a.to_pylist()), dtype=np.uint32
+            ).reshape(-1, num_perm)
+        if flat.ctypes.data % 4:  # sliced chunk landed misaligned: copy
+            flat = flat.copy()
+        return flat.view(np.uint32).reshape(-1, num_perm)
     return np.frombuffer(b"".join(sig_col), dtype=np.uint32).reshape(-1, num_perm)
 
 
@@ -54,7 +79,7 @@ def explode_bands(reps, cfg: LinkageConfig):
     """reps (with sig) -> (band_key u64, node u64) rows, 1 per (row, band)."""
 
     def _explode(batch: pa.Table) -> pa.Table:
-        sig = _sig_matrix(batch.column("sig").to_pylist(), cfg.num_perm)
+        sig = _sig_matrix(batch.column("sig"), cfg.num_perm)
         keys = band_keys(sig, cfg.bands)  # (n, bands)
         nodes = batch.column("node").to_numpy(zero_copy_only=False)
         n, b = keys.shape
@@ -144,46 +169,211 @@ def filter_and_salt(band_rows, stats, cfg: LinkageConfig):
 
     shard_size = cfg.salt_shard_size
 
-    mask63 = np.uint64((1 << 63) - 1)
-
     def _salt(batch: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)
         bk = batch.column("band_key").to_numpy(zero_copy_only=False)
         nodes = batch.column("node").to_numpy(zero_copy_only=False)
         if not hot:
             return batch
-        hot_mask = np.isin(bk, np.fromiter(hot.keys(), dtype=np.int64))
+        # sorted lookup arrays built once per call from the (small) hot dict;
+        # all per-row math below is vectorized (hot rows are the MANY ones)
+        hkeys = np.sort(np.fromiter(hot.keys(), dtype=np.int64))
+        hcounts = np.array([hot[int(k)][0] for k in hkeys], dtype=np.int64)
+        hreps = np.array([hot[int(k)][1] for k in hkeys], dtype=np.int64)
+        idx = np.searchsorted(hkeys, bk)
+        idx[idx >= hkeys.shape[0]] = 0
+        hot_mask = hkeys[idx] == bk
         if not hot_mask.any():
             return batch
-        hk = bk[hot_mask]
+        hidx = idx[hot_mask]
         hn = nodes[hot_mask]
-        extra_k: list[int] = []
-        extra_n: list[int] = []
-        mixed = (splitmix64(hk) & mask63).astype(np.int64)
-        for i in range(hk.shape[0]):
-            count, rep = hot[int(hk[i])]
-            nshards = max(2, -(-count // shard_size))
-            shard = int(splitmix64(np.array([hn[i]], dtype=np.uint64))[0] % np.uint64(nshards))
-            extra_k.append(int(mixed[i]) ^ (shard + 1))
-            extra_n.append(int(hn[i]))
-            if hn[i] == rep:
-                # the rep's source row fans out into every shard
-                for s in range(nshards):
-                    if s != shard:
-                        extra_k.append(int(mixed[i]) ^ (s + 1))
-                        extra_n.append(int(rep))
+        k2, n2 = _salt_rows(
+            bk[hot_mask], hn, hcounts[hidx], hreps[hidx], shard_size
+        )
         return pa.table(
             {
-                "band_key": pa.array(
-                    np.concatenate([bk[~hot_mask], np.array(extra_k, dtype=np.int64)])
-                ),
-                "node": pa.array(
-                    np.concatenate([nodes[~hot_mask], np.array(extra_n, dtype=np.int64)])
-                ),
+                "band_key": pa.array(np.concatenate([bk[~hot_mask], k2])),
+                "node": pa.array(np.concatenate([nodes[~hot_mask], n2])),
             }
         )
 
     return filtered.map_batches(_salt, batch_format="pyarrow"), len(hot_keys)
+
+
+_MASK63 = np.uint64((1 << 63) - 1)
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def _pairs_kernel(k, n, cap):
+    """All within-block (i < j) pairs over (key, id) rows — pure segment math.
+
+    Sorts by (key, id) once, truncates every block to its ``cap`` smallest
+    ids (deterministic), and emits each row paired with every EARLIER row of
+    its block. Returns (src, dst, key) int64 arrays with src < dst.
+    """
+    order = np.lexsort((n, k))
+    k, n = k[order], n[order]
+    m = k.shape[0]
+    if m < 2:
+        return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+    new_block = np.empty(m, dtype=bool)
+    new_block[0] = True
+    np.not_equal(k[1:], k[:-1], out=new_block[1:])
+    starts = np.flatnonzero(new_block)
+    block_id = np.cumsum(new_block) - 1
+    pos = np.arange(m) - starts[block_id]
+    # hard cap: deterministic (id-sorted) truncation of oversize blocks
+    keep = pos < cap
+    if not keep.all():
+        k, n = k[keep], n[keep]
+        m = k.shape[0]
+        new_block = np.empty(m, dtype=bool)
+        new_block[0] = True
+        np.not_equal(k[1:], k[:-1], out=new_block[1:])
+        starts = np.flatnonzero(new_block)
+        block_id = np.cumsum(new_block) - 1
+        pos = np.arange(m) - starts[block_id]
+    total = int(pos.sum())
+    if total == 0:
+        return _EMPTY_I64, _EMPTY_I64, _EMPTY_I64
+    # row r at in-block position p pairs with the p earlier rows of its block
+    later = np.repeat(np.arange(m), pos)
+    seg_ofs = np.zeros(m, dtype=np.int64)
+    np.cumsum(pos[:-1], out=seg_ofs[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_ofs, pos)
+    earlier = np.repeat(starts[block_id], pos) + within
+    return n[earlier], n[later], k[later]  # id-sorted => src < dst
+
+
+def lsh_candidate_pairs(reps, cfg: LinkageConfig):
+    """Fused single-shuffle blocking: band explode → per-partition
+    stats + salting + pair generation → cross-band pair dedup.
+
+    The staged path (explode_bands → block_stats → filter_and_salt →
+    candidate_pairs) pays five sequential dataset executions plus a driver
+    hot-key collect; on one node that fixed latency dominates the 16-byte
+    band rows' actual compute. Here ONE hash shuffle on ``band_key`` brings
+    every block's rows to a single partition, where block sizes, singleton
+    drop, hot-block salting (same key layout as ``_salt_rows``) and pair
+    generation are pure numpy segment math. The only other shuffle is the
+    (src, dst) dedup aggregate.
+
+    Partitioning assumption (100-TB note): per-partition memory is the sum of
+    its band keys' row counts. Exact-collapse has already folded identical
+    files into single reps, hot keys are few by construction, and the
+    per-block pair cap bounds the output; a key would need ~10^8 distinct
+    near-identical reps to overwhelm a partition, which the salting+cap stack
+    truncates deterministically.
+    """
+    P = cfg.shuffle_partitions
+
+    def _explode_part(batch: pa.Table) -> pa.Table:
+        sig = _sig_matrix(batch.column("sig"), cfg.num_perm)
+        keys = band_keys(sig, cfg.bands)  # (n, bands)
+        nodes = batch.column("node").to_numpy(zero_copy_only=False)
+        n, b = keys.shape
+        flat = keys.ravel()
+        part = (splitmix64(flat.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "band_key": pa.array(flat),
+            "node": pa.array(np.repeat(nodes, b)),
+            "__part": pa.array(part),
+        })
+
+    def _part_pairs(t: pa.Table) -> pa.Table:
+        k = t.column("band_key").to_numpy(zero_copy_only=False)
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, k))
+        k, n = k[order], n[order]
+        m = k.shape[0]
+        if m < 2:
+            return pa.table({
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "band_key": pa.array([], type=pa.int64()),
+            })
+        new_block = np.empty(m, dtype=bool)
+        new_block[0] = True
+        np.not_equal(k[1:], k[:-1], out=new_block[1:])
+        block_id = np.cumsum(new_block) - 1
+        counts = np.bincount(block_id)
+        row_count = counts[block_id]  # block size per row
+        starts = np.flatnonzero(new_block)
+        rep_per_row = np.repeat(n[starts], counts)  # block min node per row
+        multi = row_count >= 2
+        hot = row_count > cfg.max_block_size
+        norm = multi & ~hot
+        if hot.any():
+            k2, n2 = _salt_rows(
+                k[hot], n[hot], row_count[hot], rep_per_row[hot],
+                cfg.salt_shard_size,
+            )
+            keys_all = np.concatenate([k[norm], k2])
+            nodes_all = np.concatenate([n[norm], n2])
+        else:
+            keys_all, nodes_all = k[norm], n[norm]
+        src, dst, bk = _pairs_kernel(keys_all, nodes_all, cfg.max_block_size)
+        return pa.table({
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+            "band_key": pa.array(bk),
+        })
+
+    pairs = (
+        reps.map_batches(_explode_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda t: _part_pairs(t.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
+    deduped = scrub_empty_blocks(
+        partitioned_aggregate(
+            pairs, ["src", "dst"], [("band_key", "min", "__bk")], num_partitions=P
+        )
+    )
+    return deduped.map_batches(
+        lambda t: t.select(["src", "dst", "__bk"]).rename_columns(
+            ["src", "dst", "block_key"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _salt_rows(hk, hn, counts, reps, shard_size):
+    """Vectorized hot-block salting (same key layout as the staged path).
+
+    Inputs are PER-ROW arrays for rows belonging to hot blocks: band key,
+    node, the block's member count and its representative (min) node. Each
+    row is rewritten to ``splitmix(key)^(shard+1)`` with
+    ``shard = splitmix(node) % ceil(count/shard_size)``; the rep row fans out
+    into every shard so transitive connectivity across shards survives
+    through scored rep↔member pairs. Returns (keys, nodes) int64 arrays.
+    """
+    mixed = (splitmix64(hk.astype(np.uint64)) & _MASK63).astype(np.int64)
+    nshards = np.maximum(2, -(-counts // shard_size))
+    shard = (
+        splitmix64(hn.astype(np.uint64)) % nshards.astype(np.uint64)
+    ).astype(np.int64)
+    is_rep = hn == reps
+    # non-rep rows: one salted row each
+    k_member = mixed[~is_rep] ^ (shard[~is_rep] + 1)
+    n_member = hn[~is_rep]
+    # rep rows: fan out into ALL shards of their block
+    rep_mixed = mixed[is_rep]
+    rep_nsh = nshards[is_rep]
+    rep_node = hn[is_rep]
+    total = int(rep_nsh.sum())
+    if total:
+        seg_start = np.zeros(rep_nsh.shape[0], dtype=np.int64)
+        np.cumsum(rep_nsh[:-1], out=seg_start[1:])
+        shards = np.arange(total, dtype=np.int64) - np.repeat(seg_start, rep_nsh)
+        k_rep = np.repeat(rep_mixed, rep_nsh) ^ (shards + 1)
+        n_rep = np.repeat(rep_node, rep_nsh)
+    else:
+        k_rep = np.empty(0, dtype=np.int64)
+        n_rep = np.empty(0, dtype=np.int64)
+    return np.concatenate([k_member, k_rep]), np.concatenate([n_member, n_rep])
 
 
 def candidate_pairs(salted_rows, cfg: LinkageConfig):
@@ -237,49 +427,11 @@ def bucketed_pairs(rows, key_col: str, id_col: str, cap: int, num_partitions: in
         # zero Python per block
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         n = t.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((n, k))
-        k, n = k[order], n[order]
-        m = k.shape[0]
-        if m < 2:
-            return pa.table({
-                "src": pa.array([], type=pa.int64()),
-                "dst": pa.array([], type=pa.int64()),
-                "band_key": pa.array([], type=pa.int64()),
-            })
-        new_block = np.empty(m, dtype=bool)
-        new_block[0] = True
-        np.not_equal(k[1:], k[:-1], out=new_block[1:])
-        starts = np.flatnonzero(new_block)
-        block_id = np.cumsum(new_block) - 1
-        pos = np.arange(m) - starts[block_id]
-        # hard cap: deterministic (node-sorted) truncation of oversize blocks
-        keep = pos < cap
-        if not keep.all():
-            k, n = k[keep], n[keep]
-            m = k.shape[0]
-            new_block = np.empty(m, dtype=bool)
-            new_block[0] = True
-            np.not_equal(k[1:], k[:-1], out=new_block[1:])
-            starts = np.flatnonzero(new_block)
-            block_id = np.cumsum(new_block) - 1
-            pos = np.arange(m) - starts[block_id]
-        total = int(pos.sum())
-        if total == 0:
-            return pa.table({
-                "src": pa.array([], type=pa.int64()),
-                "dst": pa.array([], type=pa.int64()),
-                "band_key": pa.array([], type=pa.int64()),
-            })
-        # row r at in-block position p pairs with the p earlier rows of its block
-        later = np.repeat(np.arange(m), pos)
-        seg_ofs = np.zeros(m, dtype=np.int64)
-        np.cumsum(pos[:-1], out=seg_ofs[1:])
-        within = np.arange(total, dtype=np.int64) - np.repeat(seg_ofs, pos)
-        earlier = np.repeat(starts[block_id], pos) + within
+        src, dst, bk = _pairs_kernel(k, n, cap)
         return pa.table({
-            "src": pa.array(n[earlier]),  # node-sorted => src < dst
-            "dst": pa.array(n[later]),
-            "band_key": pa.array(k[later]),
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+            "band_key": pa.array(bk),
         })
 
     pairs = (

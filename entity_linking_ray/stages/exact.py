@@ -5,7 +5,8 @@ boilerplate). Collapsing them first (a) turns the hottest LSH blocks into
 single representatives, (b) yields guaranteed-correct edges for free, and (c)
 shrinks the candidate space the bi-encoder ever sees. Reference analog: exact
 dedup by key via dict insertion (/root/reference/src/transform_zeshel.py:29-31,
-SURVEY.md D1) — re-expressed as groupby-min + a hash-shuffle join.
+SURVEY.md D1) — re-expressed as a single hash-shuffled per-partition
+group-min + in-process join emitting the rep mapping and dup edges at once.
 """
 
 from __future__ import annotations
@@ -13,10 +14,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Min
-
 from ..config import LinkageConfig
-from .common import partitioned_aggregate, safe_join, scrub_empty_blocks
+from .common import safe_join
 
 
 def _edges_from_tagged(t: pa.Table) -> pa.Table:
@@ -41,89 +40,84 @@ def exact_collapse(features, cfg: LinkageConfig):
       broadcast plan returns None (nothing downstream needs it)
     - reps: one representative row per distinct sha256 (node == rep_node)
     - exact_edges: (src=rep_node, dst=node, score=1.0, kind='exact') for dups
+
+    ONE hash shuffle of the 16-byte-payload (sha256, node) rows produces the
+    full (rep_node, node) mapping directly — inside each partition a pyarrow
+    ``group_by(min)`` + in-process hash join attach the per-sha rep to every
+    row, so no second shuffle or per-actor dict build is needed. The rep
+    membership filter over ``features`` is a broadcast sorted-numpy lookup
+    below ``cfg.broadcast_feature_rows`` distinct shas, else a hash join on
+    ``node`` (the scale plan).
     """
-    def _sha_part(t: pa.Table):
-        import numpy as np
+    import numpy as np
 
-        return np.array(
-            [int(s[:12], 16) for s in t.column("sha256").to_pylist()], dtype=np.uint64
+    import ray
+
+    def _add_part(t: pa.Table) -> pa.Table:
+        part = np.array(
+            [int(s[:12], 16) % cfg.shuffle_partitions
+             for s in t.column("sha256").to_pylist()],
+            dtype=np.int64,
         )
+        return t.append_column("__part", pa.array(part))
 
-    rep_tbl = scrub_empty_blocks(
-        partitioned_aggregate(
-            features.map_batches(
-                lambda t: t.select(["sha256", "node"]), batch_format="pyarrow",
-                zero_copy_batch=True,
-            ),
-            ["sha256"],
-            [("node", "min", "rep_node")],
-            num_partitions=cfg.shuffle_partitions,
-            part_from=_sha_part,
+    def _rep_emit(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        rep = t.group_by(["sha256"]).aggregate([("node", "min")])
+        j = t.join(rep, keys="sha256")
+        return pa.table({"rep_node": j.column("node_min"), "node": j.column("node")})
+
+    mapping = (
+        features.map_batches(
+            lambda t: _add_part(t.select(["sha256", "node"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-    ).materialize()
+        .groupby("__part")
+        .map_groups(_rep_emit, batch_format="pyarrow")
+        .materialize()
+    )
+    exact_edges = mapping.map_batches(_edges_from_tagged, batch_format="pyarrow")
 
-    if rep_tbl.count() <= cfg.broadcast_feature_rows:
-        # broadcast plan, two cheap passes instead of a join:
-        # - reps: membership filter against the sorted rep-node array
-        #   (numpy via plasma = zero-copy per task)
-        # - exact edges: sha->rep dict built once per actor (AttachRep), rows
-        #   with node != rep only
-        import numpy as np
-
-        import ray
-
-        rep_refs = rep_tbl.to_arrow_refs()
-        rep_nodes = np.sort(np.concatenate([
-            t.column("rep_node").to_numpy()
-            for t in (ray.get(r) for r in rep_refs) if t.num_rows
-        ]))
+    n_rows = features.count()
+    if n_rows <= cfg.broadcast_feature_rows:
+        # broadcast plan: collect the distinct rep nodes (8 B each) and filter
+        # features by a sorted-array membership test (numpy via plasma =
+        # zero-copy mmap per task)
+        parts = [
+            t.column("rep_node").to_numpy()[
+                t.column("rep_node").to_numpy() == t.column("node").to_numpy()
+            ]
+            for t in (ray.get(r) for r in mapping.to_arrow_refs())
+            if t.num_rows
+        ]
+        rep_nodes = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         nref = ray.put(rep_nodes)
 
         def _is_rep(t: pa.Table) -> pa.Table:
             rn = ray.get(nref)
             node = t.column("node").to_numpy(zero_copy_only=False)
+            if rn.shape[0] == 0:
+                return t.slice(0, 0)
             idx = np.searchsorted(rn, node)
             idx[idx >= rn.shape[0]] = 0
             return t.filter(pa.array(rn[idx] == node))
 
         reps = features.map_batches(_is_rep, batch_format="pyarrow", zero_copy_batch=True)
-
-        class AttachRep:
-            def __init__(self):
-                m: dict[str, int] = {}
-                for r in rep_refs:
-                    t = ray.get(r)
-                    if t.num_rows:
-                        m.update(zip(t.column("sha256").to_pylist(),
-                                     t.column("rep_node").to_pylist()))
-                self.m = m
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                m = self.m
-                reps_col = [m[s] for s in t.column("sha256").to_pylist()]
-                return t.append_column("rep_node", pa.array(reps_col, type=pa.int64()))
-
-        dup_tagged = features.map_batches(
-            lambda t: t.select(["sha256", "node"]), batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).map_batches(AttachRep, batch_format="pyarrow", concurrency=(1, 8))
-        exact_edges = dup_tagged.map_batches(_edges_from_tagged, batch_format="pyarrow")
         return None, reps, exact_edges
-    else:
-        # scale plan: hash-shuffle join on sha256.
-        # materialized either way: two consumers (reps filter + dup-edge
-        # projection) would otherwise each re-execute; rows are compact.
-        tagged = safe_join(
-            features,
-            rep_tbl,
-            join_type="inner",
-            num_partitions=cfg.shuffle_partitions,
-            on=("sha256",),
-        ).materialize()
 
+    # scale plan: hash-shuffle join on node (int64 — cheaper than the sha256
+    # string key). materialized: two consumers (reps filter + dup-edge
+    # projection) would otherwise each re-execute; rows are compact.
+    tagged = safe_join(
+        features,
+        mapping,
+        join_type="inner",
+        num_partitions=cfg.shuffle_partitions,
+        on=("node",),
+    ).materialize()
     reps = tagged.map_batches(
         lambda t: t.filter(pc.equal(t["node"], t["rep_node"])),
         batch_format="pyarrow",
     )
-    exact_edges = tagged.map_batches(_edges_from_tagged, batch_format="pyarrow")
     return tagged, reps, exact_edges

@@ -18,7 +18,12 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import LinkageConfig
-from ..functions.hashing import minhash_params, minhash_signatures, rolling_shingle_hashes
+from ..functions.hashing import (
+    minhash_params,
+    minhash_signatures,
+    oph_signatures,
+    rolling_shingle_hashes,
+)
 from ..functions.text import token_hashes
 from .encoder import build_encoder
 
@@ -67,7 +72,10 @@ class FeaturizeStage:
                 if sh.shape[0] == 0:
                     sh = (th[:1] if th.shape[0] else np.zeros(1, dtype=np.uint64)) & np.uint64(0xFFFFFFFF)
                 shingles.append(sh)
-            sig_m = minhash_signatures(shingles, self.a, self.b)
+            if self.cfg.minhash == "oph":
+                sig_m = oph_signatures(shingles, self.cfg.num_perm, self.cfg.seed)
+            else:
+                sig_m = minhash_signatures(shingles, self.a, self.b)
             emb_m = self.encoder.embed_token_hashes(ths)
             for k, (sha, i) in enumerate(uniq):
                 feats = (

@@ -128,6 +128,43 @@ def _resolve_borderline(borderline, features, cfg: LinkageConfig):
     return pf.map_batches(_lev, batch_format="pyarrow")
 
 
+def _binary_blob(col) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate a (chunked) Binary column into one uint8 blob + lengths,
+    via direct Arrow buffer access — no per-row Python objects."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    blobs, lens = [], []
+    for a in chunks:
+        n = len(a)
+        if n == 0:
+            continue
+        off_dtype = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+        offsets = np.frombuffer(a.buffers()[1], dtype=off_dtype)[
+            a.offset: a.offset + n + 1
+        ]
+        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+        blobs.append(data[offsets[0]: offsets[-1]])
+        lens.append(np.diff(offsets).astype(np.int64))
+    if not blobs:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    return np.concatenate(blobs), np.concatenate(lens)
+
+
+def _pack_features(t: pa.Table) -> pa.Table:
+    """One row per input batch: each feature column flattened to a single
+    binary blob (sig/emb are fixed-width; tokseq carries its lengths)."""
+    nodes = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    sig_blob, _ = _binary_blob(t.column("sig"))
+    emb_blob, _ = _binary_blob(t.column("emb"))
+    tok_blob, tok_lens = _binary_blob(t.column("tokseq"))
+    return pa.table({
+        "nodes": pa.array([nodes.tobytes()], type=pa.large_binary()),
+        "sig": pa.array([sig_blob.tobytes()], type=pa.large_binary()),
+        "emb": pa.array([emb_blob.tobytes()], type=pa.large_binary()),
+        "tok_blob": pa.array([tok_blob.tobytes()], type=pa.large_binary()),
+        "tok_lens": pa.array([tok_lens.tobytes()], type=pa.large_binary()),
+    })
+
+
 def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
     """Zero-shuffle scoring: the compact feature arrays are ray.put ONCE and
     every scoring task looks pairs up by sorted node id. Used whenever the
@@ -136,36 +173,65 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
     scale with cores."""
     import ray
 
-    proj = features.map_batches(
-        lambda t: t.select(["node", "sig", "emb", "tokseq"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    # assemble the lookup arrays ONCE on the driver (fully vectorized — the
-    # varlen tokseq reorder is a single fancy-index gather) and ray.put the
-    # numpy tuple: plasma gets of numpy arrays are zero-copy mmaps, so the
-    # per-task ray.get below costs microseconds (unlike pickled dicts)
-    tables = [t for t in (ray.get(r) for r in proj.to_arrow_refs()) if t.num_rows > 0]
-    tbl = pa.concat_tables([t.select(["node", "sig", "emb", "tokseq"]) for t in tables])
-    nodes = tbl.column("node").to_numpy()
-    order = np.argsort(nodes)
-    nodes = nodes[order]
-    sig = np.frombuffer(b"".join(tbl.column("sig").to_pylist()), dtype=np.uint32).reshape(-1, cfg.num_perm)[order]
-    emb = np.frombuffer(b"".join(tbl.column("emb").to_pylist()), dtype=np.float32).reshape(-1, cfg.embed_dim)[order]
-    # the blob stays in ARRIVAL order — reordering 100s of MB byte-wise costs
-    # tens of seconds in giant temporaries; instead each sorted position
-    # carries its (start, len) into the original blob
-    toks = tbl.column("tokseq").to_pylist()
-    lens = np.array([len(b) for b in toks], dtype=np.int64)
+    # pack the lookup arrays IN PARALLEL — each map task flattens its blocks'
+    # binary columns into contiguous blobs via zero-copy Arrow buffer access
+    # (the old driver-side ``to_pylist`` + ``b"".join`` pass was serial and
+    # flat in num_cpus); the driver then only concatenates numpy arrays
+    # (memcpy) and sorts the node index. ray.put of the numpy tuple =
+    # zero-copy plasma mmap per downstream task (unlike pickled dicts).
+    import os
+    import sys
+    import time
+
+    _trace = os.environ.get("ELR_TIMING") == "1"
+    t0 = time.time()
+    packed = features.map_batches(
+        _pack_features, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if _trace:
+        sys.stderr.write(f"[score] pack_mat {time.time()-t0:.2f}s\n")
+        t0 = time.time()
+    rows = [
+        t for t in (ray.get(r) for r in packed.to_arrow_refs()) if t.num_rows > 0
+    ]
+    if _trace:
+        sys.stderr.write(f"[score] get_refs {time.time()-t0:.2f}s\n")
+        t0 = time.time()
+    # flatten each packed column into ONE numpy array via a single Arrow
+    # combine_chunks (one C-level copy) — python-bytes round-trips plus
+    # many-small-array np.concatenate measured ~20x slower on this host
+    allt = pa.concat_tables(rows)  # zero-copy
+
+    def _col_np(name: str, dtype) -> np.ndarray:
+        a = allt.column(name).combine_chunks()
+        off = np.frombuffer(a.buffers()[1], dtype=np.int64)[: len(a) + 1]
+        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+        return data[off[0]: off[-1]].view(dtype)
+
+    nodes = _col_np("nodes", np.int64)
+    sig = _col_np("sig", np.uint32).reshape(-1, cfg.num_perm)
+    emb = _col_np("emb", np.float32).reshape(-1, cfg.embed_dim)
+    blob = _col_np("tok_blob", np.uint8)
+    lens = _col_np("tok_lens", np.int64)
+    if _trace:
+        sys.stderr.write(f"[score] concat {time.time()-t0:.2f}s\n")
+        t0 = time.time()
+    # sig/emb/blob stay in ARRIVAL order — the 100s-of-MB gather into sorted
+    # order was the serial driver hotspot; instead ship the sorted node index
+    # plus its permutation and let each (parallel) scoring task double-index
+    order = np.argsort(nodes, kind="stable")
     starts = np.zeros(lens.shape[0], dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    blob = np.frombuffer(b"".join(toks), dtype=np.uint8)
-    tok_start = starts[order]
-    tok_len = lens[order]
-    ref = ray.put((nodes, sig, emb, blob, tok_start, tok_len))
+    nodes_sorted = nodes[order]
+    if _trace:
+        sys.stderr.write(f"[score] assemble {time.time()-t0:.2f}s\n")
+        t0 = time.time()
+    ref = ray.put((nodes_sorted, order, sig, emb, blob, starts, lens))
+    if _trace:
+        sys.stderr.write(f"[score] ray_put {time.time()-t0:.2f}s\n")
 
     def _score(batch: pa.Table) -> pa.Table:
-        fnodes, fsig, femb, fblob, fstart, flen = ray.get(ref)
+        fnodes, fperm, fsig, femb, fblob, fstart, flen = ray.get(ref)
         n = batch.num_rows
         if n == 0:
             return pa.table({
@@ -178,8 +244,8 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
             })
         src = batch.column("src").to_numpy(zero_copy_only=False)
         dst = batch.column("dst").to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(fnodes, src)
-        ib = np.searchsorted(fnodes, dst)
+        ia = fperm[np.searchsorted(fnodes, src)]
+        ib = fperm[np.searchsorted(fnodes, dst)]
         jac = (fsig[ia] == fsig[ib]).mean(axis=1)
         dot = np.einsum("ij,ij->i", femb[ia], femb[ib]).astype(np.float64)
         matched = (jac >= cfg.tau_jaccard) | (dot >= cfg.tau_dot)

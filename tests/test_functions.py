@@ -107,3 +107,34 @@ def test_splitmix_deterministic():
     x = np.array([1, 2, 3], dtype=np.uint64)
     np.testing.assert_array_equal(splitmix64(x), splitmix64(x))
     assert len(set(splitmix64(np.arange(1000, dtype=np.uint64)).tolist())) == 1000
+
+
+def test_oph_jaccard_estimate_and_determinism():
+    from entity_linking_ray.functions.hashing import oph_signatures
+
+    rng = np.random.default_rng(0)
+    s1 = rng.integers(0, 2**32, 500, dtype=np.uint64)
+    s2 = np.concatenate([s1[:400], rng.integers(0, 2**32, 100, dtype=np.uint64)])
+    sig = oph_signatures([s1, s2], 128, 42)
+    est = (sig[0] == sig[1]).mean()
+    true_j = len(np.intersect1d(s1, s2)) / len(np.union1d(s1, s2))
+    assert abs(est - true_j) < 0.12
+    # per-row result independent of batch composition
+    solo = oph_signatures([s2], 128, 42)
+    np.testing.assert_array_equal(sig[1], solo[0])
+    # identical sets -> identical signatures
+    again = oph_signatures([s1, s1], 128, 42)
+    np.testing.assert_array_equal(again[0], again[1])
+
+
+def test_oph_densification_short_rows():
+    from entity_linking_ray.functions.hashing import oph_signatures
+
+    # 3 shingles over 128 bins: most bins empty -> densification must fill
+    # every bin deterministically, and identical sets must still agree
+    s = np.array([7, 9, 11], dtype=np.uint64)
+    sig = oph_signatures([s, s, np.empty(0, dtype=np.uint64)], 128, 1)
+    assert (sig[0] != 0xFFFFFFFF).all()
+    np.testing.assert_array_equal(sig[0], sig[1])
+    # zero-shingle rows keep the sentinel (featurize never emits them)
+    assert (sig[2] == 0xFFFFFFFF).all()
