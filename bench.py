@@ -190,21 +190,38 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    # single-run wall clocks on this sandbox swing ±20-40% (shared host,
+    # THP/compaction stalls): interleave lo/hi repetitions so drift hits both
+    # levels equally, and score the MEDIAN of each level
+    lo, hi = (int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(","))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run(lo))
+        hi_runs.append(run(hi))
+
+    def med(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    t_lo = med([r["value"] for r in lo_runs])
+    t_hi = med([r["value"] for r in hi_runs])
+    n_files = lo_runs[0].get("n_files")
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "files_per_sec_8": r_lo["files_per_sec"],
-        "files_per_sec_32": r_hi["files_per_sec"],
+        "cpus": [lo, hi],
+        "reps": reps,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"sec_{lo}_runs": [r["value"] for r in lo_runs],
+        f"sec_{hi}_runs": [r["value"] for r in hi_runs],
+        f"files_per_sec_{lo}": round(n_files / t_lo, 1),
+        f"files_per_sec_{hi}": round(n_files / t_hi, 1),
         "sf": SF_DIR,
-        "n_files": r_lo.get("n_files"),
+        "n_files": n_files,
     }
 
 

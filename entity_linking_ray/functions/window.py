@@ -25,14 +25,23 @@ def mention_context_window(
     """Words of the windowed mention-in-context, mention wrapped in tags.
 
     Mirrors zeshel_dataset.py:62-76: lowercase (:65), whitespace split (:66),
-    inclusive end offset (:70 uses end+1), keep_left = (ctx - 2 - len_m) // 2
-    with the remainder on the right.
+    inclusive end offset (:70 uses end+1), and the exact reference budget —
+    ``keep_left = (context_size - 2 - len(mention_tokens)) // 2`` where
+    ``mention_tokens`` INCLUDES the two marker tags (:68,73), remainder going
+    right (:74). Two deliberate divergences from the reference, both asserted
+    in tests/test_retrieval_parity.py:
+    - the budget is clamped at 0: the reference's ``left_tokens[-keep_left:]``
+      with ``keep_left == 0`` keeps the ENTIRE left context (the ``[-0:]``
+      Python bug), and negative budgets index nonsensically; here an exhausted
+      budget keeps nothing,
+    - out-of-range mention offsets are clamped instead of slicing to empty.
     """
     words = text.lower().split()
     start_i = max(0, start_index)
     end_i = min(len(words) - 1, end_index) if words else -1
     mention = words[start_i : end_i + 1]
-    budget = max(0, context_size - 2 - len(mention))
+    # reference counts the two marker tags inside mention_tokens
+    budget = max(0, context_size - 2 - (len(mention) + 2))
     keep_left = budget // 2
     keep_right = budget - keep_left
     left = words[max(0, start_i - keep_left) : start_i]

@@ -43,7 +43,13 @@ def _t(sf_dir: str, name: str, columns=None):
 
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
     i = t.column_names.index(col)
-    return t.set_column(i, col, pc.round(t.column(col).cast(pa.float64()), ndigits=nd))
+    return t.set_column(
+        i, col,
+        pc.round(
+            t.column(col).cast(pa.float64()), ndigits=nd,
+            round_mode="half_towards_infinity",  # DuckDB round() semantics
+        ),
+    )
 
 
 def _round_half_up(x: float, nd: int) -> float:
@@ -111,11 +117,11 @@ def q_pricing_summary(sf_dir: str):
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "sum_qty": pc.round(qty, ndigits=2),
-            "sum_base_price": pc.round(price, ndigits=2),
-            "sum_disc_price": pc.round(dscp, ndigits=2),
-            "avg_qty": pc.round(pc.divide(qty, n), ndigits=4),
-            "avg_price": pc.round(pc.divide(price, n), ndigits=4),
+            "sum_qty": pc.round(qty, ndigits=2, round_mode="half_towards_infinity"),
+            "sum_base_price": pc.round(price, ndigits=2, round_mode="half_towards_infinity"),
+            "sum_disc_price": pc.round(dscp, ndigits=2, round_mode="half_towards_infinity"),
+            "avg_qty": pc.round(pc.divide(qty, n), ndigits=4, round_mode="half_towards_infinity"),
+            "avg_price": pc.round(pc.divide(price, n), ndigits=4, round_mode="half_towards_infinity"),
             "count_order": t["count_order"],
         })
 
@@ -123,35 +129,78 @@ def q_pricing_summary(sf_dir: str):
 
 
 def q_top_revenue_orders(sf_dir: str):
-    """Hash join lineitem ⋈ orders + grouped revenue + global top-10
-    (O1 top-k analog of eval_zeshel.py:49, made deterministic on ties)."""
+    """Grouped revenue per order + global top-10 with the order's priority
+    (O1 top-k analog of eval_zeshel.py:49, made deterministic on ties).
+
+    Scale shape: the ~|orders|-key rollup goes through partitioned_aggregate
+    (bucketed pyarrow group_by — Ray's per-key finalize is unusable at 10^6
+    groups); the global top-10 is a per-block partial top-10 followed by a
+    tiny driver merge — never a full sort; the priority lookup touches only
+    the 10 winning keys (broadcast semi-filter on orders)."""
+    from ..stages.common import partitioned_aggregate
+
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _cents(r)})
 
-    per_order = (
-        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    per_order = partitioned_aggregate(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("rev_c", "sum", "rev_c")], num_partitions=NPART,
     )
-    joined = safe_join(
-        scrub_empty_blocks(per_order), orders, join_type="inner",
-        num_partitions=NPART, on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-    top = joined.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(10)
-    return scrub_empty_blocks(top).map_batches(
-        lambda t: pa.table({
-            "l_orderkey": t["l_orderkey"],
-            "o_orderpriority": t["o_orderpriority"],
-            "revenue": pc.round(
-                pc.divide(t.column("rev_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 10:
+            return t
+        r = t.column("rev_c").to_numpy(zero_copy_only=False)
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.take(np.lexsort((k, -r))[:10])
+
+    cand = pa.concat_tables([
+        t
+        for t in (
+            ray.get(r)
+            for r in per_order.map_batches(partial_top, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ])
+    rv = cand.column("rev_c").to_numpy(zero_copy_only=False)
+    kk = cand.column("l_orderkey").to_numpy(zero_copy_only=False)
+    top = cand.take(np.lexsort((kk, -rv))[:10])
+    topkeys = np.sort(top.column("l_orderkey").to_numpy())
+    kref = ray.put(topkeys)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ok)
+        idx[idx >= ks.shape[0]] = 0
+        return t.filter(pa.array(ks[idx] == ok))
+
+    prio = pa.concat_tables([
+        t
+        for t in (
+            ray.get(r)
+            for r in _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+            .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ])
+    pmap = dict(zip(prio.column("o_orderkey").to_pylist(),
+                    prio.column("o_orderpriority").to_pylist()))
+    return pa.table({
+        "l_orderkey": top["l_orderkey"],
+        "o_orderpriority": pa.array(
+            [pmap[k] for k in top.column("l_orderkey").to_pylist()], type=pa.string()
+        ),
+        "revenue": pc.round(
+            pc.divide(top.column("rev_c").cast(pa.float64()), pa.scalar(100.0)),
+            ndigits=2,
+                round_mode="half_towards_infinity",
             ),
-        }),
-        batch_format="pyarrow",
-    )
+    })
 
 
 def q_orders_per_nation(sf_dir: str):
@@ -187,7 +236,7 @@ def q_orders_per_nation(sf_dir: str):
             "c_nationkey": t["c_nationkey"],
             "n_orders": t["n_orders"],
             "total_price": pc.round(
-                pc.divide(t.column("price_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+                pc.divide(t.column("price_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2, round_mode="half_towards_infinity"
             ),
         }),
         batch_format="pyarrow",
@@ -216,10 +265,16 @@ def q_customers_with_orders(sf_dir: str):
     return scrub_empty_blocks(out)
 
 
-def q_customers_without_orders(sf_dir: str):
-    """Anti join via a broadcast key set: customers with no high-value
-    (>300k) order. (Plain 'no orders at all' is empty at every sf — an empty
-    result loses its schema through pandas and can't be compared.)"""
+def q_customers_without_orders(sf_dir: str, broadcast_key_limit: int = 2_000_000):
+    """Anti join: customers with no high-value (>300k) order. (Plain 'no
+    orders at all' is empty at every sf — an empty result loses its schema
+    through pandas and can't be compared.)
+
+    Size-gated two-plan op: below ``broadcast_key_limit`` filtered key rows,
+    the key set is collected, deduped and broadcast as one sorted numpy array
+    (zero-shuffle membership test per batch); above it — the fact side at
+    scale — a hash-shuffle left-outer join + null filter (the distributed
+    anti-join). Both plans are asserted identical in tests."""
     def _keys(t: pa.Table) -> pa.Table:
         f = t.filter(pc.greater(t["o_totalprice"], 300000.0))
         return f.select(["o_custkey"])
@@ -227,37 +282,91 @@ def q_customers_without_orders(sf_dir: str):
     key_ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         _keys, batch_format="pyarrow", zero_copy_batch=True
     )
-    custkeys = np.sort(np.unique(np.concatenate([
-        ray.get(r).column("o_custkey").to_numpy()
-        for r in key_ds.to_arrow_refs()
-    ])))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    if key_ds.count() > broadcast_key_limit:
+        # scale plan: dedup keys (partitioned aggregate), left-outer join,
+        # keep rows whose right side is null
+        from ..stages.common import partitioned_aggregate
+
+        keys = partitioned_aggregate(
+            key_ds.map_batches(
+                lambda t: t.append_column(
+                    "__hit", pa.array(np.ones(t.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            ),
+            ["o_custkey"], [("__hit", "min", "__hit")], num_partitions=NPART,
+        )
+        j = safe_join(
+            cust, keys, join_type="left_outer", num_partitions=NPART,
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
+        return j.map_batches(
+            lambda t: _round_col(
+                t.filter(pc.is_null(t["__hit"])).select(["c_custkey", "c_acctbal"]),
+                "c_acctbal", 4,
+            ),
+            batch_format="pyarrow",
+        )
+
+    custkeys = np.sort(np.unique(np.concatenate(
+        [
+            ray.get(r).column("o_custkey").to_numpy()
+            for r in key_ds.to_arrow_refs()
+        ] or [np.empty(0, dtype=np.int64)]
+    )))
     ref = ray.put(custkeys)
 
     def anti(t: pa.Table) -> pa.Table:
         k = ray.get(ref)
         ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        if k.shape[0] == 0:
+            return t
         idx = np.searchsorted(k, ck)
         idx[idx >= k.shape[0]] = 0
         return t.filter(pa.array(k[idx] != ck))
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True) \
         .map_batches(lambda t: _round_col(t, "c_acctbal", 4), batch_format="pyarrow")
 
 
 def q_per_group_topk(sf_dir: str):
-    """Per-key top-k (O1: argsort-desc-slice per row, eval_zeshel.py:49) as
-    groupby.map_groups with deterministic tie-break."""
+    """Per-key top-k (O1: argsort-desc-slice per row, eval_zeshel.py:49).
+
+    Bucket-then-vectorize: rows are hash-bucketed on the key (one shuffle of
+    P groups) and each bucket ranks ALL of its keys in one numpy
+    lexsort + segment pass — no Python call per distinct key (~10^5 customers
+    at sf0.1, millions at scale)."""
+    from ..stages.common import bucketed_map_groups
+
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(2)
-        g = g.copy()
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["o_totalprice"] = g["o_totalprice"].round(4)
-        return g
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        if cust.shape[0] == 0:
+            return t.append_column("rk", pa.array([], type=pa.int64()))
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price, cust))
+        cust, okey, price = cust[order], okey[order], price[order]
+        m = cust.shape[0]
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        np.not_equal(cust[1:], cust[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        rk = np.arange(m, dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+        keep = rk <= 2
+        # DuckDB round() = half away from zero (prices are non-negative)
+        price_r = np.floor(price[keep] * 1e4 + 0.5) / 1e4
+        return pa.table({
+            "o_custkey": pa.array(cust[keep]),
+            "o_orderkey": pa.array(okey[keep]),
+            "o_totalprice": pa.array(price_r),
+            "rk": pa.array(rk[keep]),
+        })
 
-    return orders.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return bucketed_map_groups(orders, ["o_custkey"], topk_bucket, NPART)
 
 
 def q_sort_lineitem(sf_dir: str):
@@ -316,7 +425,7 @@ def q_windowed_events(sf_dir: str):
             "event_type": t["event_type"],
             "n_events": t["n_events"],
             "sum_value": pc.round(
-                pc.divide(t.column("value_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+                pc.divide(t.column("value_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2, round_mode="half_towards_infinity"
             ),
         }),
         batch_format="pyarrow",
@@ -325,34 +434,55 @@ def q_windowed_events(sf_dir: str):
 
 def q_asof_events_orders(sf_dir: str):
     """As-of join: each event matched to the latest order (by o_orderdate) of
-    customer == user_id. Orders are first deduped to one per (custkey, date)
-    (max orderkey) so the as-of pick is deterministic; the small orders side is
-    broadcast once and each event batch runs a vectorized merge_asof."""
-    odf = pa.concat_tables([
-        ray.get(r) for r in _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]).to_arrow_refs()
-    ]).to_pandas()
-    odf = (
-        odf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-        .groupby(["o_custkey", "o_orderdate"], as_index=False)
-        .last()  # max o_orderkey per (cust, date)
-        .sort_values("o_orderdate", kind="mergesort")
+    customer == user_id. Orders are deduped to one per (custkey, date) (max
+    orderkey) so the as-of pick is deterministic, rank-compressed into three
+    sorted numpy arrays and broadcast once; each event batch resolves its
+    matches with two vectorized searchsorted probes. Scale note: this is the
+    broadcast plan (right side must fit a worker); at fact-×-fact scale
+    range-partition both sides on user_id and merge per partition — the
+    bucketed_map_groups pattern — instead of broadcasting."""
+    ot = pa.concat_tables([
+        ray.get(r)
+        for r in _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]).to_arrow_refs()
+    ])
+    cust = ot.column("o_custkey").to_numpy(zero_copy_only=False)
+    datei = (
+        ot.column("o_orderdate").to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)
     )
-    ref = ray.put(odf)
+    okey = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+    # rank-compress order dates so (cust, date) packs into ONE sortable int64
+    dates = np.unique(datei)
+    L = np.int64(dates.shape[0])
+    key = cust * (L + 1) + (np.searchsorted(dates, datei) + 1)
+    order = np.lexsort((okey, key))
+    key, okey = key[order], okey[order]
+    last = np.empty(key.shape[0], dtype=bool)
+    last[-1] = True
+    np.not_equal(key[1:], key[:-1], out=last[:-1])
+    # broadcast three numpy arrays (zero-copy plasma mmap per task — never a
+    # pickled DataFrame, which deserializes per ray.get)
+    ref = ray.put((dates, key[last], okey[last], L))
 
-    def asof(batch: pd.DataFrame) -> pd.DataFrame:
-        right = ray.get(ref)
-        left = batch.sort_values("ts", kind="mergesort")
-        m = pd.merge_asof(
-            left, right, left_on="ts", right_on="o_orderdate",
-            left_by="user_id", right_by="o_custkey", direction="backward",
+    def asof(t: pa.Table) -> pa.Table:
+        dts, rkeys, rok, nL = ray.get(ref)
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
         )
-        return pd.DataFrame({
-            "event_id": m["event_id"],
-            "o_orderkey": m["o_orderkey"].astype("Int64"),
-        })
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        qidx = np.searchsorted(dts, ts, side="right") - 1  # latest date <= ts
+        qkey = u * (nL + 1) + (qidx + 1)
+        pos = np.searchsorted(rkeys, qkey, side="right") - 1
+        posc = np.maximum(pos, 0)
+        hit = (qidx >= 0) & (pos >= 0) & (rkeys[posc] // (nL + 1) == u)
+        out = pc.if_else(
+            pa.array(hit), pa.array(rok[posc]), pa.scalar(None, type=pa.int64())
+        )
+        return pa.table({"event_id": t["event_id"], "o_orderkey": out})
 
     ev = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return ev.map_batches(asof, batch_format="pandas", batch_size=8192)
+    return ev.map_batches(asof, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -362,33 +492,60 @@ def q_asof_events_orders(sf_dir: str):
 
 def q_sessionize_events(sf_dir: str):
     """Gap-based session windows (30 min) per user — the stream-shaped
-    stateful op Ray Data expresses as groupby(key).map_groups over ts-sorted
-    groups (see ray guide 'streaming-shaped workloads'). Oracle: lag() +
-    running sum window functions."""
-    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
-    gap = pd.Timedelta(minutes=30)
+    stateful op. Bucket-then-vectorize: users are hash-bucketed (P groups
+    shuffled, not one per user), and each bucket sessionizes ALL its users in
+    one numpy lexsort + segment pass. Oracle: lag() + running sum window
+    functions."""
+    from ..stages.common import bucketed_map_groups
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new_s = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        sid = new_s.cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("event_id", "count"),
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions_bucket(t: pa.Table) -> pa.Table:
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        m = user.shape[0]
+        if m == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "session_id": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "n_events": pa.array([], type=pa.int64()),
+                "duration_sec": pa.array([], type=pa.int64()),
+            })
+        tsi = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
         )
-        out["session_id"] = out.index.astype(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, tsi, user))
+        user, tsi = user[order], tsi[order]
+        new_user = np.empty(m, dtype=bool)
+        new_user[0] = True
+        np.not_equal(user[1:], user[:-1], out=new_user[1:])
+        dt = np.empty(m, dtype=np.int64)
+        dt[0] = 0
+        np.subtract(tsi[1:], tsi[:-1], out=dt[1:])
+        new_s = new_user | (dt > gap_us)
+        sid_g = np.cumsum(new_s)  # 1-based global session counter
+        # per-user session_id restarts at 1: subtract the user's first value
+        ubase = sid_g[np.flatnonzero(new_user)]
+        sid = sid_g - ubase[np.cumsum(new_user) - 1] + 1
+        starts = np.flatnonzero(new_s)
+        n_ev = np.diff(np.append(starts, m)).astype(np.int64)
+        s_start = tsi[starts]
+        s_end = tsi[starts + n_ev - 1]
         # DuckDB date_diff('second', a, b) counts second BOUNDARIES crossed,
         # i.e. trunc-to-second difference — not elapsed seconds
-        out["duration_sec"] = (
-            (out["session_end"].dt.floor("s") - out["session_start"].dt.floor("s"))
-            .dt.total_seconds()
-            .astype(np.int64)
-        )
-        return out[["user_id", "session_id", "session_start", "n_events", "duration_sec"]]
+        dur = s_end // 1_000_000 - s_start // 1_000_000
+        return pa.table({
+            "user_id": pa.array(user[starts]),
+            "session_id": pa.array(sid[starts]),
+            "session_start": pa.array(s_start.astype("datetime64[us]")),
+            "n_events": pa.array(n_ev),
+            "duration_sec": pa.array(dur),
+        })
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed_map_groups(ev, ["user_id"], sessions_bucket, NPART)
 
 
 def q_revenue_per_segment(sf_dir: str):
@@ -434,7 +591,7 @@ def q_revenue_per_segment(sf_dir: str):
             "c_mktsegment": t["c_mktsegment"],
             "n_items": t["n_items"],
             "revenue": pc.round(
-                pc.divide(t.column("rev_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2
+                pc.divide(t.column("rev_c").cast(pa.float64()), pa.scalar(100.0)), ndigits=2, round_mode="half_towards_infinity"
             ),
         }),
         batch_format="pyarrow",
@@ -637,55 +794,116 @@ def q_minhash_near_dup(sf_dir: str):
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
-    def explode(t: pa.Table) -> pa.Table:
-        shs = []
+    # ONE pass computes both the LSH band rows and the per-doc unique-shingle
+    # blob; the (doc_id, shingles) projection is materialized in the object
+    # store (spillable) — NEVER collected into a driver dict
+    def feat(t: pa.Table) -> pa.Table:
+        shs, blobs = [], []
         for s in t.column("text").to_pylist():
             sh = rolling_shingle_hashes(token_hashes(s), 3)
             shs.append(sh if sh.shape[0] else np.zeros(1, dtype=np.uint64))
+            blobs.append(np.unique(shs[-1]).tobytes())
         sig = minhash_signatures(shs, a, b)
         keys = band_keys(sig, cfg.bands)
-        ids = t.column("doc_id").to_numpy()
-        n, nb = keys.shape
         return pa.table({
-            "band_key": pa.array(keys.ravel()),
-            "doc_id": pa.array(np.repeat(ids, nb)),
+            "doc_id": t["doc_id"],
+            "bands": pa.array(list(keys), type=pa.list_(pa.int64())),
+            "shingles": pa.array(blobs, type=pa.large_binary()),
+        })
+
+    feats = docs.map_batches(feat, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        bands = t.column("bands").combine_chunks()
+        flat = bands.flatten().to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "band_key": pa.array(flat),
+            "node": pa.array(np.repeat(ids, cfg.bands)),
         })
 
     from ..stages.blocking import bucketed_pairs
 
-    band_rows = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    band_rows = feats.map_batches(explode, batch_format="pyarrow")
     cand = bucketed_pairs(
-        band_rows.map_batches(
-            lambda t: t.rename_columns(["band_key", "node"]), batch_format="pyarrow"
-        ),
+        band_rows,
         key_col="band_key", id_col="node", cap=64, num_partitions=NPART,
         out_cols=("doc_a", "doc_b", "first_band"),
     )
 
-    texts = {}
-    for r in _t(sf_dir, "documents", ["doc_id", "text"]).to_arrow_refs():
-        tt = ray.get(r)
-        texts.update(zip(tt.column("doc_id").to_pylist(), tt.column("text").to_pylist()))
-    tref = ray.put(texts)
-
-    def verify(t: pa.Table) -> pa.Table:
-        from ..functions.text import token_hashes as th
-
-        tx = ray.get(tref)
-        da = t.column("doc_a").to_pylist()
-        db = t.column("doc_b").to_pylist()
+    def _jaccard_filter(t: pa.Table, sh_a: list, sh_b: list) -> pa.Table:
         jac = []
-        for x, y in zip(da, db):
-            s1 = set(rolling_shingle_hashes(th(tx[x]), 3).tolist())
-            s2 = set(rolling_shingle_hashes(th(tx[y]), 3).tolist())
-            jac.append(round(len(s1 & s2) / max(1, len(s1 | s2)), 4))
+        for x, y in zip(sh_a, sh_b):
+            s1 = np.frombuffer(x, dtype=np.uint64)
+            s2 = np.frombuffer(y, dtype=np.uint64)  # both unique-sorted
+            inter = np.intersect1d(s1, s2, assume_unique=True).shape[0]
+            jac.append(
+                _round_half_up(inter / max(1, s1.shape[0] + s2.shape[0] - inter), 4)
+            )
         out = pa.table({
             "doc_a": t["doc_a"], "doc_b": t["doc_b"],
             "jaccard": pa.array(jac, type=pa.float64()),
         })
         return out.filter(pc.greater_equal(out["jaccard"], 0.3))
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    if feats.count() <= LinkageConfig().broadcast_feature_rows:
+        # broadcast plan: shingle blobs packed into (sorted ids, blob,
+        # starts, lens) numpy arrays — zero-copy plasma mmap per task, never
+        # a per-get-unpickled dict
+        tabs = [
+            t for t in (
+                ray.get(r)
+                for r in feats.map_batches(
+                    lambda t: t.select(["doc_id", "shingles"]),
+                    batch_format="pyarrow",
+                ).to_arrow_refs()
+            ) if t.num_rows
+        ]
+        ids = np.concatenate([t.column("doc_id").to_numpy() for t in tabs])
+        blobs = [b for t in tabs for b in t.column("shingles").to_pylist()]
+        lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+        order = np.argsort(ids)
+        ids, lens = ids[order], lens[order]
+        blob = np.frombuffer(
+            b"".join(blobs[i] for i in order), dtype=np.uint64
+        )
+        starts = np.zeros(lens.shape[0], dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sref = ray.put((ids, blob, starts, lens))
+
+        def verify_b(t: pa.Table) -> pa.Table:
+            sids, sblob, sstarts, slens = ray.get(sref)
+            ia = np.searchsorted(sids, t.column("doc_a").to_numpy(zero_copy_only=False))
+            ib = np.searchsorted(sids, t.column("doc_b").to_numpy(zero_copy_only=False))
+            sh_a = [sblob[sstarts[i]: sstarts[i] + slens[i]].tobytes() for i in ia]
+            sh_b = [sblob[sstarts[i]: sstarts[i] + slens[i]].tobytes() for i in ib]
+            return _jaccard_filter(t, sh_a, sh_b)
+
+        return cand.map_batches(verify_b, batch_format="pyarrow")
+
+    # scale plan: hash-join the shingle projection onto both pair sides
+    shingle_ds = feats.map_batches(
+        lambda t: t.select(["doc_id", "shingles"]), batch_format="pyarrow"
+    )
+    ja = safe_join(
+        cand, shingle_ds.map_batches(
+            lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow"
+        ),
+        join_type="inner", num_partitions=NPART, on=("doc_a",),
+    )
+    jb = safe_join(
+        ja, shingle_ds.map_batches(
+            lambda t: t.rename_columns(["doc_b", "sh_b"]), batch_format="pyarrow"
+        ),
+        join_type="inner", num_partitions=NPART, on=("doc_b",),
+    )
+
+    def verify_j(t: pa.Table) -> pa.Table:
+        return _jaccard_filter(
+            t, t.column("sh_a").to_pylist(), t.column("sh_b").to_pylist()
+        )
+
+    return jb.map_batches(verify_j, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -828,6 +1046,62 @@ def q_multimodal_decode(sf_dir: str):
 
     assets = ray.data.from_arrow(synth_assets(300))
     return resize_plan(decode_media(assets, batch_size=32), max_side=224)
+
+
+def q_tokenize_pad(sf_dir: str):
+    """M11: token-id encode + pad + attention mask (zeshel_dataset.py:78-90
+    semantics: truncate to seq_len-2, wrap [CLS]/[SEP], mask over real tokens,
+    pad to fixed length). Vocab-hash ids (md5 % slots) make the whole encoding
+    SQL-expressible; the flat (doc_id, pos, token_id, mask) layout is hashed
+    against the DuckDB oracle position by position."""
+    from ..stages.tokenize import TokenizePadStage
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        TokenizePadStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"seq_len": 32, "vocab_size": 30000},
+        concurrency=(1, 4),
+    )
+
+
+def q_transform_mentions(sf_dir: str):
+    """Entry-point-1 relational core over the driver tables (the reference
+    fixture e2e runs in tests/test_transform.py): deterministic mentions are
+    derived from documents (span = [doc_id%5, doc_id%5 + doc_id%3]), windowed
+    with the reference's exact budget arithmetic (zeshel_dataset.py:68-74 via
+    functions.window), and denormalized against their label document
+    (label = (doc_id*7+3) % n_docs) through a broadcast join."""
+    from ..functions.window import mention_context_window
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    dtab = pa.concat_tables([ray.get(r) for r in
+                             _t(sf_dir, "documents", ["doc_id", "lang"]).to_arrow_refs()])
+    n_docs = dtab.num_rows
+    dids = dtab.column("doc_id").to_numpy()
+    order_ = np.argsort(dids)
+    langs = np.asarray(dtab.column("lang").to_pylist(), dtype=object)[order_]
+    dref = ray.put((dids[order_], langs))
+
+    def window(t: pa.Table) -> pa.Table:
+        k, lg = ray.get(dref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        ctx = [
+            " ".join(mention_context_window(s, int(d % 5), int(d % 5 + d % 3),
+                                            context_size=16))
+            for d, s in zip(ids, texts)
+        ]
+        label = (ids * 7 + 3) % n_docs
+        idx = np.searchsorted(k, label)
+        idx[idx >= k.shape[0]] = 0
+        return pa.table({
+            "mention_id": pa.array(ids),
+            "label_doc_id": pa.array(label),
+            "label_lang": pa.array([lg[i] for i in idx], type=pa.string()),
+            "context": pa.array(ctx, type=pa.string()),
+        })
+
+    return docs.map_batches(window, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1080,6 +1354,67 @@ ORACLE_SQL: dict[str, str] = {
         FROM ks CROSS JOIN q LEFT JOIN first_hit fh ON fh.qid = q.qid
         GROUP BY ks.k
     """,
+    "tokenize_pad": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_extract_all(lower(text), '\\S+'),
+                       t -> CASE
+                           WHEN t = '[unused0]' THEN 3
+                           WHEN t = '[unused1]' THEN 4
+                           WHEN t = '|' OR t = '[unused2]' THEN 5
+                           ELSE 6 + CAST(
+                               CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT)
+                               % 29994 AS BIGINT)
+                       END) AS ids
+            FROM documents
+        ),
+        core AS (
+            SELECT doc_id, [1] || list_slice(ids, 1, 30) || [2] AS c FROM w
+        ),
+        p AS (SELECT unnest(range(32)) AS pos)
+        SELECT core.doc_id, CAST(p.pos AS BIGINT) AS pos,
+               coalesce(c[CAST(p.pos AS INT) + 1], 0) AS token_id,
+               CASE WHEN p.pos < len(c) THEN 1 ELSE 0 END AS mask
+        FROM core, p
+    """,
+    "transform_mentions": """
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        w AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '\\S+') AS words,
+                   CAST(doc_id % 5 AS BIGINT) AS s0,
+                   CAST(doc_id % 5 + doc_id % 3 AS BIGINT) AS e0
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, words, s0 AS s,
+                   least(e0, len(words) - 1) AS e
+            FROM w
+        ),
+        win AS (
+            SELECT doc_id,
+                   list_slice(words, s + 1, e + 1) AS mention,
+                   greatest(0, 16 - 2 - (e - s + 1 + 2)) AS budget,
+                   s, e, words
+            FROM m
+        ),
+        ctx AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_slice(words, greatest(1, s + 1 - budget // 2), s)
+                       || ['[unused0]'] || mention || ['[unused1]']
+                       || list_slice(words, e + 2, e + 1 + (budget - budget // 2)),
+                       ' ') AS context
+            FROM win
+        )
+        SELECT c.doc_id AS mention_id,
+               CAST((c.doc_id * 7 + 3) % nd.n AS BIGINT) AS label_doc_id,
+               d.lang AS label_lang,
+               c.context
+        FROM ctx c, nd
+        JOIN documents d ON d.doc_id = (c.doc_id * 7 + 3) % nd.n
+    """,
     "cc_documents": """
         WITH RECURSIVE edges AS (
             SELECT a.doc_id AS u, b.doc_id AS v
@@ -1128,5 +1463,7 @@ QUERIES = {
     "retrieval_rate": q_retrieval_rate,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
+    "tokenize_pad": q_tokenize_pad,
+    "transform_mentions": q_transform_mentions,
     "cc_documents": q_cc_documents,
 }

@@ -256,8 +256,11 @@ def lsh_candidate_pairs(reps, cfg: LinkageConfig):
     band rows' actual compute. Here ONE hash shuffle on ``band_key`` brings
     every block's rows to a single partition, where block sizes, singleton
     drop, hot-block salting (same key layout as ``_salt_rows``) and pair
-    generation are pure numpy segment math. The only other shuffle is the
-    (src, dst) dedup aggregate.
+    generation are pure numpy segment math; pairs are pre-deduped within the
+    partition and leave it already tagged with their (src, dst) hash bucket.
+    The only other shuffle routes pairs to that bucket, where a numpy
+    first-of-run pass (NOT a per-key aggregate) keeps each pair's minimum
+    band key.
 
     Partitioning assumption (100-TB note): per-partition memory is the sum of
     its band keys' row counts. Exact-collapse has already folded identical
@@ -268,76 +271,130 @@ def lsh_candidate_pairs(reps, cfg: LinkageConfig):
     """
     P = cfg.shuffle_partitions
 
-    def _explode_part(batch: pa.Table) -> pa.Table:
-        sig = _sig_matrix(batch.column("sig"), cfg.num_perm)
-        keys = band_keys(sig, cfg.bands)  # (n, bands)
-        nodes = batch.column("node").to_numpy(zero_copy_only=False)
-        n, b = keys.shape
-        flat = keys.ravel()
-        part = (splitmix64(flat.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
-        return pa.table({
-            "band_key": pa.array(flat),
-            "node": pa.array(np.repeat(nodes, b)),
-            "__part": pa.array(part),
-        })
-
-    def _part_pairs(t: pa.Table) -> pa.Table:
-        k = t.column("band_key").to_numpy(zero_copy_only=False)
-        n = t.column("node").to_numpy(zero_copy_only=False)
-        order = np.lexsort((n, k))
-        k, n = k[order], n[order]
-        m = k.shape[0]
-        if m < 2:
-            return pa.table({
-                "src": pa.array([], type=pa.int64()),
-                "dst": pa.array([], type=pa.int64()),
-                "band_key": pa.array([], type=pa.int64()),
-            })
-        new_block = np.empty(m, dtype=bool)
-        new_block[0] = True
-        np.not_equal(k[1:], k[:-1], out=new_block[1:])
-        block_id = np.cumsum(new_block) - 1
-        counts = np.bincount(block_id)
-        row_count = counts[block_id]  # block size per row
-        starts = np.flatnonzero(new_block)
-        rep_per_row = np.repeat(n[starts], counts)  # block min node per row
-        multi = row_count >= 2
-        hot = row_count > cfg.max_block_size
-        norm = multi & ~hot
-        if hot.any():
-            k2, n2 = _salt_rows(
-                k[hot], n[hot], row_count[hot], rep_per_row[hot],
-                cfg.salt_shard_size,
-            )
-            keys_all = np.concatenate([k[norm], k2])
-            nodes_all = np.concatenate([n[norm], n2])
-        else:
-            keys_all, nodes_all = k[norm], n[norm]
-        src, dst, bk = _pairs_kernel(keys_all, nodes_all, cfg.max_block_size)
-        return pa.table({
-            "src": pa.array(src),
-            "dst": pa.array(dst),
-            "band_key": pa.array(bk),
-        })
-
     pairs = (
-        reps.map_batches(_explode_part, batch_format="pyarrow", zero_copy_batch=True)
+        reps.map_batches(
+            lambda t: explode_bands_parted(t, cfg, P),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .groupby("__part")
         .map_groups(
-            lambda t: _part_pairs(t.drop_columns(["__part"])), batch_format="pyarrow"
+            lambda t: part_pairs(t.drop_columns(["__part"]), cfg, P),
+            batch_format="pyarrow",
         )
     )
-    deduped = scrub_empty_blocks(
-        partitioned_aggregate(
-            pairs, ["src", "dst"], [("band_key", "min", "__bk")], num_partitions=P
+    deduped = (
+        pairs.groupby("__p2")
+        .map_groups(
+            lambda t: _dedup_min_band(t.drop_columns(["__p2"])),
+            batch_format="pyarrow",
         )
     )
-    return deduped.map_batches(
-        lambda t: t.select(["src", "dst", "__bk"]).rename_columns(
-            ["src", "dst", "block_key"]
-        ),
-        batch_format="pyarrow",
-    )
+    return scrub_empty_blocks(deduped)
+
+
+def _dedup_min_band(t: pa.Table) -> pa.Table:
+    """(src, dst, band_key) rows -> unique (src, dst, block_key=min band).
+
+    One lexsort + adjacent-unique pass; replaces a per-key hash aggregate
+    (pyarrow group_by spends seconds at 10^6 distinct pairs, this is
+    milliseconds)."""
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    dst = t.column("dst").to_numpy(zero_copy_only=False)
+    bk = t.column("band_key").to_numpy(zero_copy_only=False)
+    m = src.shape[0]
+    if m == 0:
+        return pa.table({
+            "src": pa.array([], type=pa.int64()),
+            "dst": pa.array([], type=pa.int64()),
+            "block_key": pa.array([], type=pa.int64()),
+        })
+    order = np.lexsort((bk, dst, src))
+    src, dst, bk = src[order], dst[order], bk[order]
+    first = np.empty(m, dtype=bool)
+    first[0] = True
+    first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    return pa.table({
+        "src": pa.array(src[first]),
+        "dst": pa.array(dst[first]),
+        "block_key": pa.array(bk[first]),
+    })
+
+
+def explode_bands_parted(batch: pa.Table, cfg: LinkageConfig, P: int) -> pa.Table:
+    """reps batch -> (band_key, node, __part) rows, one per (row, band)."""
+    sig = _sig_matrix(batch.column("sig"), cfg.num_perm)
+    keys = band_keys(sig, cfg.bands)  # (n, bands)
+    nodes = batch.column("node").to_numpy(zero_copy_only=False)
+    n, b = keys.shape
+    flat = keys.ravel()
+    part = (splitmix64(flat.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+    return pa.table({
+        "band_key": pa.array(flat),
+        "node": pa.array(np.repeat(nodes, b)),
+        "__part": pa.array(part),
+    })
+
+
+def part_pairs(t: pa.Table, cfg: LinkageConfig, P: int | None = None) -> pa.Table:
+    """One partition's band rows -> candidate pairs: block sizing, singleton
+    drop, hot-block salting and pair generation as pure numpy segment math.
+    Output is pre-deduped within the partition and, when ``P`` is given,
+    tagged with ``__p2`` — the pair's (src, dst) hash bucket for the final
+    cross-partition dedup shuffle."""
+    empty = pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64()),
+        "band_key": pa.array([], type=pa.int64()),
+        **({"__p2": pa.array([], type=pa.int64())} if P is not None else {}),
+    })
+    k = t.column("band_key").to_numpy(zero_copy_only=False)
+    n = t.column("node").to_numpy(zero_copy_only=False)
+    order = np.lexsort((n, k))
+    k, n = k[order], n[order]
+    m = k.shape[0]
+    if m < 2:
+        return empty
+    new_block = np.empty(m, dtype=bool)
+    new_block[0] = True
+    np.not_equal(k[1:], k[:-1], out=new_block[1:])
+    block_id = np.cumsum(new_block) - 1
+    counts = np.bincount(block_id)
+    row_count = counts[block_id]  # block size per row
+    starts = np.flatnonzero(new_block)
+    rep_per_row = np.repeat(n[starts], counts)  # block min node per row
+    multi = row_count >= 2
+    hot = row_count > cfg.max_block_size
+    norm = multi & ~hot
+    if hot.any():
+        k2, n2 = _salt_rows(
+            k[hot], n[hot], row_count[hot], rep_per_row[hot],
+            cfg.salt_shard_size,
+        )
+        keys_all = np.concatenate([k[norm], k2])
+        nodes_all = np.concatenate([n[norm], n2])
+    else:
+        keys_all, nodes_all = k[norm], n[norm]
+    src, dst, bk = _pairs_kernel(keys_all, nodes_all, cfg.max_block_size)
+    if src.shape[0] == 0:
+        return empty
+    # within-partition pre-dedup (same pair from several bands of this
+    # partition collapses here; min band key kept)
+    order = np.lexsort((bk, dst, src))
+    src, dst, bk = src[order], dst[order], bk[order]
+    first = np.empty(src.shape[0], dtype=bool)
+    first[0] = True
+    first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    src, dst, bk = src[first], dst[first], bk[first]
+    cols = {
+        "src": pa.array(src),
+        "dst": pa.array(dst),
+        "band_key": pa.array(bk),
+    }
+    if P is not None:
+        h = splitmix64(splitmix64(dst.astype(np.uint64)) ^ src.astype(np.uint64))
+        cols["__p2"] = pa.array((h % np.uint64(P)).astype(np.int64))
+    return pa.table(cols)
 
 
 def _salt_rows(hk, hn, counts, reps, shard_size):
@@ -424,14 +481,24 @@ def bucketed_pairs(rows, key_col: str, id_col: str, cap: int, num_partitions: in
     def _bucket_pairs(t: pa.Table) -> pa.Table:
         # all rows of every band key hashed to this bucket: sort once, then
         # generate all within-block (i < j) pairs with pure segment math —
-        # zero Python per block
+        # zero Python per block; pre-deduped + tagged with the (src, dst)
+        # hash bucket for the final dedup shuffle
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         n = t.column(id_col).to_numpy(zero_copy_only=False)
         src, dst, bk = _pairs_kernel(k, n, cap)
+        if src.shape[0]:
+            order = np.lexsort((bk, dst, src))
+            src, dst, bk = src[order], dst[order], bk[order]
+            first = np.empty(src.shape[0], dtype=bool)
+            first[0] = True
+            first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst, bk = src[first], dst[first], bk[first]
+        h = splitmix64(splitmix64(dst.astype(np.uint64)) ^ src.astype(np.uint64))
         return pa.table({
             "src": pa.array(src),
             "dst": pa.array(dst),
             "band_key": pa.array(bk),
+            "__p2": pa.array((h % np.uint64(P)).astype(np.int64)),
         })
 
     pairs = (
@@ -442,16 +509,12 @@ def bucketed_pairs(rows, key_col: str, id_col: str, cap: int, num_partitions: in
         )
     )
     deduped = scrub_empty_blocks(
-        partitioned_aggregate(
-            pairs,
-            ["src", "dst"],
-            [("band_key", "min", "__bk")],
-            num_partitions=P,
+        pairs.groupby("__p2").map_groups(
+            lambda t: _dedup_min_band(t.drop_columns(["__p2"])),
+            batch_format="pyarrow",
         )
     )
     return deduped.map_batches(
-        lambda t: t.select(["src", "dst", "__bk"]).rename_columns(
-            [src_name, dst_name, bk_name]
-        ),
+        lambda t: t.rename_columns([src_name, dst_name, bk_name]),
         batch_format="pyarrow",
     )

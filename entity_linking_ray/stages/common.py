@@ -85,6 +85,48 @@ def partitioned_aggregate(ds, keys, aggs, num_partitions: int, part_from=None):
     )
 
 
+def bucketed_map_groups(ds, key_cols, kernel, num_partitions: int, part_from=None):
+    """Vectorized high-cardinality grouped transform.
+
+    ``groupby(key).map_groups(fn)`` pays a Python call per DISTINCT key —
+    disastrous at ~10^5+ groups. This helper hash-buckets rows on the group
+    key into ``num_partitions`` buckets (Ray shuffles P groups, not one per
+    key) and runs ``kernel`` — a pyarrow-table function that must handle MANY
+    complete groups at once with vectorized segment math — inside each
+    bucket. Any key's rows land in exactly one bucket, so kernels that only
+    need within-group context are exact.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import splitmix64
+
+    key_list = list(key_cols)
+
+    def _default_part(t: pa.Table) -> "np.ndarray":
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in key_list:
+            col = t.column(k).to_numpy(zero_copy_only=False)
+            h ^= splitmix64(col.astype(np.uint64) + np.uint64(0x9E37))
+        return h
+
+    part_fn = part_from or _default_part
+
+    def _add_part(t: pa.Table) -> pa.Table:
+        h = part_fn(t)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    return (
+        ds.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda t: kernel(t.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
+
+
 def safe_join(left, right, join_type: str, num_partitions: int, on, right_on=None):
     """``Dataset.join`` with both inputs scrubbed of degenerate empty blocks.
 

@@ -5,12 +5,24 @@ boilerplate). Collapsing them first (a) turns the hottest LSH blocks into
 single representatives, (b) yields guaranteed-correct edges for free, and (c)
 shrinks the candidate space the bi-encoder ever sees. Reference analog: exact
 dedup by key via dict insertion (/root/reference/src/transform_zeshel.py:29-31,
-SURVEY.md D1) — re-expressed as a single hash-shuffled per-partition
-group-min + in-process join emitting the rep mapping and dup edges at once.
+SURVEY.md D1).
+
+Two plans, size-gated on ``cfg.broadcast_feature_rows``:
+
+- broadcast plan (row count ≤ gate): the (sha256, node) projection is
+  16 B/row after the shas are packed to four int64 words in the map tasks, so
+  it is COLLECTED to the driver (≤40 MB at the 1M-row gate), the per-sha
+  minimum node computed with one lexsort + segment pass, the dup edges emitted
+  as an in-memory table, and the rep-node set broadcast as one sorted numpy
+  array for a zero-shuffle membership filter. No all-to-all at all.
+- scale plan: one hash shuffle of the packed rows computes the
+  (rep_node, node) mapping per partition (pyarrow group_by(min) + in-process
+  join), then a hash join attaches ``rep_node`` to every feature row.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -33,6 +45,22 @@ def _edges_from_tagged(t: pa.Table) -> pa.Table:
     )
 
 
+def _pack_sha_batch(t: pa.Table) -> pa.Table:
+    """(sha256 hex, node) -> (k0..k3 uint64 words, node): the full 256-bit
+    digest packed into four fixed-width key columns (16 B + node per row, no
+    truncation — grouping on all four words is exactly grouping on sha256)."""
+    shas = t.column("sha256").to_pylist()
+    raw = b"".join(bytes.fromhex(s) for s in shas)
+    m = np.frombuffer(raw, dtype=np.uint64).reshape(-1, 4)
+    return pa.table({
+        "k0": pa.array(m[:, 0]),
+        "k1": pa.array(m[:, 1]),
+        "k2": pa.array(m[:, 2]),
+        "k3": pa.array(m[:, 3]),
+        "node": t["node"],
+    })
+
+
 def exact_collapse(features, cfg: LinkageConfig):
     """features -> (tagged, reps, exact_edges).
 
@@ -40,75 +68,86 @@ def exact_collapse(features, cfg: LinkageConfig):
       broadcast plan returns None (nothing downstream needs it)
     - reps: one representative row per distinct sha256 (node == rep_node)
     - exact_edges: (src=rep_node, dst=node, score=1.0, kind='exact') for dups
-
-    ONE hash shuffle of the 16-byte-payload (sha256, node) rows produces the
-    full (rep_node, node) mapping directly — inside each partition a pyarrow
-    ``group_by(min)`` + in-process hash join attach the per-sha rep to every
-    row, so no second shuffle or per-actor dict build is needed. The rep
-    membership filter over ``features`` is a broadcast sorted-numpy lookup
-    below ``cfg.broadcast_feature_rows`` distinct shas, else a hash join on
-    ``node`` (the scale plan).
     """
-    import numpy as np
-
     import ray
+    import ray.data
 
+    n_rows = features.count()
+    packed = features.map_batches(
+        lambda t: _pack_sha_batch(t.select(["sha256", "node"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    if n_rows <= cfg.broadcast_feature_rows:
+        tabs = [
+            t for t in (ray.get(r) for r in packed.to_arrow_refs()) if t.num_rows
+        ]
+        if not tabs:
+            empty_edges = ray.data.from_arrow(_edges_from_tagged(pa.table({
+                "node": pa.array([], type=pa.int64()),
+                "rep_node": pa.array([], type=pa.int64()),
+            })))
+            return None, features, empty_edges
+        ks = [
+            np.concatenate([t.column(c).to_numpy() for t in tabs])
+            for c in ("k0", "k1", "k2", "k3")
+        ]
+        node = np.concatenate([t.column("node").to_numpy() for t in tabs])
+        order = np.lexsort((node, ks[3], ks[2], ks[1], ks[0]))
+        node_s = node[order]
+        first = np.empty(node_s.shape[0], dtype=bool)
+        first[0] = True
+        first[1:] = False
+        for k in ks:
+            k_s = k[order]
+            first[1:] |= k_s[1:] != k_s[:-1]
+        runs = np.cumsum(first) - 1
+        rep = node_s[np.flatnonzero(first)][runs]  # per-row min node of its sha
+
+        dup = node_s != rep
+        exact_edges = ray.data.from_arrow(_edges_from_tagged(pa.table({
+            "rep_node": pa.array(rep[dup]),
+            "node": pa.array(node_s[dup]),
+        })))
+
+        rep_nodes = np.sort(rep[~dup])  # == unique reps, sorted
+        nref = ray.put(rep_nodes)
+
+        def _is_rep(t: pa.Table) -> pa.Table:
+            rn = ray.get(nref)
+            nd = t.column("node").to_numpy(zero_copy_only=False)
+            if rn.shape[0] == 0:
+                return t.slice(0, 0)
+            idx = np.searchsorted(rn, nd)
+            idx[idx >= rn.shape[0]] = 0
+            return t.filter(pa.array(rn[idx] == nd))
+
+        reps = features.map_batches(_is_rep, batch_format="pyarrow", zero_copy_batch=True)
+        return None, reps, exact_edges
+
+    # scale plan: ONE hash shuffle of the packed rows -> (rep_node, node)
+    # mapping (per-partition group_by(min) + in-process join), then a hash
+    # join on node (int64 — cheaper than the sha string) tags every row.
     def _add_part(t: pa.Table) -> pa.Table:
-        part = np.array(
-            [int(s[:12], 16) % cfg.shuffle_partitions
-             for s in t.column("sha256").to_pylist()],
-            dtype=np.int64,
-        )
+        part = (t.column("k0").to_numpy() % np.uint64(cfg.shuffle_partitions)).astype(np.int64)
         return t.append_column("__part", pa.array(part))
 
     def _rep_emit(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["__part"])
-        rep = t.group_by(["sha256"]).aggregate([("node", "min")])
-        j = t.join(rep, keys="sha256")
+        rep = t.group_by(["k0", "k1", "k2", "k3"]).aggregate([("node", "min")])
+        j = t.join(rep, keys=["k0", "k1", "k2", "k3"])
         return pa.table({"rep_node": j.column("node_min"), "node": j.column("node")})
 
     mapping = (
-        features.map_batches(
-            lambda t: _add_part(t.select(["sha256", "node"])),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        packed.map_batches(_add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(_rep_emit, batch_format="pyarrow")
         .materialize()
     )
     exact_edges = mapping.map_batches(_edges_from_tagged, batch_format="pyarrow")
-
-    n_rows = features.count()
-    if n_rows <= cfg.broadcast_feature_rows:
-        # broadcast plan: collect the distinct rep nodes (8 B each) and filter
-        # features by a sorted-array membership test (numpy via plasma =
-        # zero-copy mmap per task)
-        parts = [
-            t.column("rep_node").to_numpy()[
-                t.column("rep_node").to_numpy() == t.column("node").to_numpy()
-            ]
-            for t in (ray.get(r) for r in mapping.to_arrow_refs())
-            if t.num_rows
-        ]
-        rep_nodes = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-        nref = ray.put(rep_nodes)
-
-        def _is_rep(t: pa.Table) -> pa.Table:
-            rn = ray.get(nref)
-            node = t.column("node").to_numpy(zero_copy_only=False)
-            if rn.shape[0] == 0:
-                return t.slice(0, 0)
-            idx = np.searchsorted(rn, node)
-            idx[idx >= rn.shape[0]] = 0
-            return t.filter(pa.array(rn[idx] == node))
-
-        reps = features.map_batches(_is_rep, batch_format="pyarrow", zero_copy_batch=True)
-        return None, reps, exact_edges
-
-    # scale plan: hash-shuffle join on node (int64 — cheaper than the sha256
-    # string key). materialized: two consumers (reps filter + dup-edge
-    # projection) would otherwise each re-execute; rows are compact.
+    # materialized: two consumers (reps filter + dup-edge projection) would
+    # otherwise each re-execute; rows are compact.
     tagged = safe_join(
         features,
         mapping,

@@ -185,17 +185,17 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
 
     _trace = os.environ.get("ELR_TIMING") == "1"
     t0 = time.time()
-    packed = features.map_batches(
-        _pack_features, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    if _trace:
-        sys.stderr.write(f"[score] pack_mat {time.time()-t0:.2f}s\n")
-        t0 = time.time()
+    # raw Ray tasks over the (already materialized / checkpointed) feature
+    # blocks: each task flattens its block into contiguous blobs and ships
+    # the small packed table straight to the driver — no extra full-dataset
+    # execution and no second features-sized copy in the object store
+    pack_task = ray.remote(num_cpus=1)(_pack_features)
     rows = [
-        t for t in (ray.get(r) for r in packed.to_arrow_refs()) if t.num_rows > 0
+        t for t in ray.get([pack_task.remote(r) for r in features.to_arrow_refs()])
+        if t.num_rows > 0 and len(t.column("nodes")[0].as_py()) > 0
     ]
     if _trace:
-        sys.stderr.write(f"[score] get_refs {time.time()-t0:.2f}s\n")
+        sys.stderr.write(f"[score] pack_collect {time.time()-t0:.2f}s\n")
         t0 = time.time()
     # flatten each packed column into ONE numpy array via a single Arrow
     # combine_chunks (one C-level copy) — python-bytes round-trips plus
@@ -226,12 +226,16 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
     if _trace:
         sys.stderr.write(f"[score] assemble {time.time()-t0:.2f}s\n")
         t0 = time.time()
-    ref = ray.put((nodes_sorted, order, sig, emb, blob, starts, lens))
+    # two separate broadcast objects: every scoring task maps the (sig, emb)
+    # lookup, but the token blob — needed only for the borderline Levenshtein
+    # fallback — is mapped lazily, so most tasks never touch its pages
+    ref = ray.put((nodes_sorted, order, sig, emb))
+    tok_ref = ray.put((blob, starts, lens))
     if _trace:
         sys.stderr.write(f"[score] ray_put {time.time()-t0:.2f}s\n")
 
     def _score(batch: pa.Table) -> pa.Table:
-        fnodes, fperm, fsig, femb, fblob, fstart, flen = ray.get(ref)
+        fnodes, fperm, fsig, femb = ray.get(ref)
         n = batch.num_rows
         if n == 0:
             return pa.table({
@@ -255,6 +259,7 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
         )
         lev = np.zeros(n)
         if borderline.any():
+            fblob, fstart, flen = ray.get(tok_ref)
             for i in np.flatnonzero(borderline):
                 sa, la = fstart[ia[i]], flen[ia[i]]
                 sb, lb = fstart[ib[i]], flen[ib[i]]

@@ -58,9 +58,12 @@ class CheckpointManager:
         d = self._dir(stage)
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(d, ignore_errors=True)
         t0 = time.time()
         ds.write_parquet(tmp)
+        # only displace the previous complete checkpoint once the tmp write
+        # has fully landed: a crash mid-write must leave the old stage dir
+        # (and its manifest) reusable, not force a recompute
+        shutil.rmtree(d, ignore_errors=True)
         os.replace(tmp, d)
         files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
         import pyarrow.parquet as pq

@@ -89,3 +89,20 @@ def test_deterministic_across_runs(small_corpus, linked):
     a = {r["row_id"]: r["cluster"] for r in linked.take_all()}
     b = {r["row_id"]: r["cluster"] for r in again.take_all()}
     assert a == b
+
+
+def test_scale_plans_match_broadcast_plans(small_corpus, linked):
+    """Force every size-gated SCALE plan (shuffle-join scoring, exact-collapse
+    join, join-based cluster attach) by zeroing the broadcast gates; cluster
+    output must be identical to the broadcast plans' (mirrors the driver-vs-
+    distributed CC parametrization)."""
+    corpus, _, _ = small_corpus
+    cfg = LinkageConfig(
+        shuffle_partitions=4,
+        broadcast_feature_rows=0,
+        broadcast_key_limit=0,
+    )
+    out = link_dataset(rd.from_arrow(corpus), cfg).materialize()
+    a = {r["row_id"]: r["cluster"] for r in linked.take_all()}
+    b = {r["row_id"]: r["cluster"] for r in out.take_all()}
+    assert a == b

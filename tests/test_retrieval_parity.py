@@ -24,11 +24,23 @@ def test_mention_window_reference_semantics():
     text = " ".join(f"w{i}" for i in range(100))
     # mention = words 50..52 (inclusive), context 10
     win = mention_context_window(text, 50, 52, context_size=10)
-    # budget = 10 - 2 - 3 = 5 -> keep_left 2, keep_right 3
+    # reference budget counts the tags inside mention_tokens
+    # (zeshel_dataset.py:68,73): keep_left = (10 - 2 - 5) // 2 = 1,
+    # keep_right = 10 - 2 - 1 - 5 = 2; total = context_size - 2
     assert win == [
-        "w48", "w49", MENTION_START, "w50", "w51", "w52", MENTION_END,
-        "w53", "w54", "w55",
+        "w49", MENTION_START, "w50", "w51", "w52", MENTION_END,
+        "w53", "w54",
     ]
+    assert len(win) == 10 - 2
+
+
+def test_mention_window_zero_budget_keeps_nothing():
+    """Deliberate divergence from the reference's left_tokens[-0:] bug
+    (zeshel_dataset.py:74 keeps ALL left context when keep_left == 0): an
+    exhausted budget here keeps no context at all."""
+    text = " ".join(f"w{i}" for i in range(20))
+    win = mention_context_window(text, 10, 12, context_size=7)  # budget = 0
+    assert win == [MENTION_START, "w10", "w11", "w12", MENTION_END]
 
 
 def test_mention_window_edges():

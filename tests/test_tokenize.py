@@ -1,0 +1,90 @@
+"""M11/T1: token-id encode + pad + attention mask.
+
+Reproduces the reference test suite's sequence invariants
+(/root/reference/test/test_zeshel_dataset.py:26-60): CLS first; a short
+mention context ends in PAD while a long entity text ends in SEP; fixed
+length; mask covers exactly the real tokens."""
+
+import numpy as np
+
+from entity_linking_ray.functions.window import (
+    MENTION_END,
+    MENTION_START,
+    entity_text_compose,
+    mention_context_window,
+)
+from entity_linking_ray.stages.tokenize import (
+    CLS_ID,
+    ENT_TITLE_ID,
+    MENTION_END_ID,
+    MENTION_START_ID,
+    N_SPECIAL,
+    PAD_ID,
+    SEP_ID,
+    HashTokenizer,
+)
+
+
+def test_mention_sequence_invariants():
+    tok = HashTokenizer(vocab_size=1000, seq_len=64)
+    words = mention_context_window(
+        " ".join(f"w{i}" for i in range(40)), 10, 12, context_size=16
+    )
+    ids, mask = tok.encode_pad(words)
+    assert ids.shape == (64,) and mask.shape == (64,)
+    # test_zeshel_dataset.py:30-31: [CLS] first, [PAD] last (short context)
+    assert ids[0] == CLS_ID
+    assert ids[-1] == PAD_ID and mask[-1] == 0
+    n_real = len(words) + 2
+    assert ids[n_real - 1] == SEP_ID
+    assert mask[:n_real].all() and not mask[n_real:].any()
+    # the mention markers land inside the sequence with their reserved ids
+    assert MENTION_START_ID in ids and MENTION_END_ID in ids
+    assert list(ids).index(MENTION_START_ID) == 1 + words.index(MENTION_START)
+
+
+def test_entity_sequence_ends_in_sep_when_truncated():
+    tok = HashTokenizer(vocab_size=1000, seq_len=32)
+    words = entity_text_compose("Long Title", " ".join(f"t{i}" for i in range(100)),
+                                max_words=200)
+    ids, mask = tok.encode_pad(words)
+    # test_zeshel_dataset.py:33-34: entity (long text) ends in [SEP], not pad
+    assert ids[0] == CLS_ID and ids[-1] == SEP_ID
+    assert mask.all()
+    # the '|' title separator maps to the reserved entity-title id
+    assert ENT_TITLE_ID in ids
+
+
+def test_vocab_hash_ids_deterministic_and_in_range():
+    tok = HashTokenizer(vocab_size=500, seq_len=8)
+    a = tok.token_id("hello")
+    assert a == tok.token_id("hello")
+    assert N_SPECIAL <= a < 500
+    import hashlib
+
+    expect = N_SPECIAL + int(hashlib.md5(b"hello").hexdigest()[:8], 16) % (500 - N_SPECIAL)
+    assert a == expect
+
+
+def test_tokenize_pad_stage_flat_layout(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_linking_ray.stages.tokenize import TokenizePadStage
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["Alpha beta GAMMA", ""]),
+    })
+    out = rd.from_arrow(docs).map_batches(
+        TokenizePadStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"seq_len": 6}, concurrency=1,
+    ).to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert len(out) == 12
+    row0 = out[out.doc_id == 1]
+    assert row0.token_id.tolist()[0] == CLS_ID
+    assert row0.token_id.tolist()[4] == SEP_ID
+    assert row0["mask"].tolist() == [1, 1, 1, 1, 1, 0]
+    empty = out[out.doc_id == 2]
+    assert empty.token_id.tolist()[:2] == [CLS_ID, SEP_ID]
+    assert empty["mask"].tolist() == [1, 1, 0, 0, 0, 0]
