@@ -26,6 +26,24 @@ def sha256_hex(texts: list[str] | np.ndarray) -> list[str]:
     return [hashlib.sha256(t.encode("utf-8", "surrogatepass")).hexdigest() for t in texts]
 
 
+def sha256_hex_and_words(texts) -> tuple[list[str], np.ndarray]:
+    """One digest pass -> (hex strings, (n, 4) int64 key words).
+
+    The words are the digest split into four lanes, each masked to 63 bits
+    (int64-pure: uint64 values >= 2^63 trip Ray aggregates into pickled
+    extension columns — see hex16_to_node). Grouping on all four words is
+    grouping on 252 bits of sha256: collision expectation at 10^12 rows is
+    ~1e-52 — exact for any physical corpus.
+    """
+    digs = [hashlib.sha256(t.encode("utf-8", "surrogatepass")).digest() for t in texts]
+    if digs:
+        m = np.frombuffer(b"".join(digs), dtype=np.uint64).reshape(-1, 4)
+        words = (m & np.uint64((1 << 63) - 1)).astype(np.int64)
+    else:
+        words = np.empty((0, 4), dtype=np.int64)
+    return [d.hex() for d in digs], words
+
+
 def row_id_hex(repos: list[str], paths: list[str], commits: list[str]) -> list[str]:
     """Stable 16-hex row id from the (repo, path, commit) natural key.
 

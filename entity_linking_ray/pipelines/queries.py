@@ -783,7 +783,7 @@ def q_doc_fingerprints(sf_dir: str):
     return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_minhash_near_dup(sf_dir: str):
+def q_minhash_near_dup(sf_dir: str, broadcast_limit: int | None = None):
     """MinHash-LSH near-dup candidates over documents.text with exact
     token-set Jaccard verification (the near-dedup op; rows-only check —
     MinHash is not SQL-expressible)."""
@@ -846,7 +846,9 @@ def q_minhash_near_dup(sf_dir: str):
         })
         return out.filter(pc.greater_equal(out["jaccard"], 0.3))
 
-    if feats.count() <= LinkageConfig().broadcast_feature_rows:
+    if broadcast_limit is None:
+        broadcast_limit = LinkageConfig().broadcast_feature_rows
+    if feats.count() <= broadcast_limit:
         # broadcast plan: shingle blobs packed into (sorted ids, blob,
         # starts, lens) numpy arrays — zero-copy plasma mmap per task, never
         # a per-get-unpickled dict
@@ -881,7 +883,13 @@ def q_minhash_near_dup(sf_dir: str):
 
         return cand.map_batches(verify_b, batch_format="pyarrow")
 
-    # scale plan: hash-join the shingle projection onto both pair sides
+    # scale plan: hash-join the shingle projection onto both pair sides.
+    # TWO join operators run concurrently in one streaming DAG — size their
+    # aggregator pools to the session or they starve each other of CPU slots
+    # (a 4-CPU session with 2×16 join partitions deadlocks outright)
+    from ..stages.common import default_partitions
+
+    pj = max(2, default_partitions(NPART) // 2)
     shingle_ds = feats.map_batches(
         lambda t: t.select(["doc_id", "shingles"]), batch_format="pyarrow"
     )
@@ -889,13 +897,13 @@ def q_minhash_near_dup(sf_dir: str):
         cand, shingle_ds.map_batches(
             lambda t: t.rename_columns(["doc_a", "sh_a"]), batch_format="pyarrow"
         ),
-        join_type="inner", num_partitions=NPART, on=("doc_a",),
-    )
+        join_type="inner", num_partitions=pj, on=("doc_a",),
+    ).materialize()  # finish join #1 before join #2's pool spins up
     jb = safe_join(
         ja, shingle_ds.map_batches(
             lambda t: t.rename_columns(["doc_b", "sh_b"]), batch_format="pyarrow"
         ),
-        join_type="inner", num_partitions=NPART, on=("doc_b",),
+        join_type="inner", num_partitions=pj, on=("doc_b",),
     )
 
     def verify_j(t: pa.Table) -> pa.Table:

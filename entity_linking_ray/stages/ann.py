@@ -1,9 +1,10 @@
 """Similarity search over embedding columns: brute-force and IVF plans.
 
 - ``brute_force_topk``: the baseline — candidate matrix broadcast once
-  (``ray.put``), queries stream through a batched matmul + argpartition.
-  This is the reference's scoring shape (np.matmul(me, ee.T) + top-k,
-  /root/reference/src/eval_zeshel.py:44,49) kept streaming.
+  (``ray.put``), queries stream through a batched matmul + vectorized
+  stable-argsort top-k. This is the reference's scoring shape
+  (np.matmul(me, ee.T) + top-k, /root/reference/src/eval_zeshel.py:44,49)
+  kept streaming.
 - ``ivf_topk``: the scale path — candidates are bucketed by nearest coarse
   centroid (deterministic k-means on a seeded sample, built driver-side from
   a SMALL sample only), each query probes its ``n_probe`` nearest cells, and
@@ -11,8 +12,17 @@
   assignment is a partitioned shuffle and each cell is scanned only by the
   queries that probe it.
 
+Partitioning assumptions (100-TB note): one IVF cell's candidates plus its
+probing queries must fit one task — cells are balanced by k-means and
+``n_cells`` scales with the corpus; the per-query merge is hash-bucketed
+(``bucketed_map_groups``), so no task ever sees more than its bucket's
+(n_probe × k)-row slices. Embeddings travel between stages as
+FixedSizeBinary columns built from ONE buffer per batch — never per-row
+Python serialization.
+
 Ties everywhere break by (score desc, id asc) — deterministic across
-parallelism levels.
+parallelism levels: candidates are pre-sorted by id, so a STABLE argsort on
+-cos resolves ties toward the smaller id with zero per-row Python.
 """
 
 from __future__ import annotations
@@ -36,11 +46,46 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
 
 
+def _emb_fixed_bin(emb32: np.ndarray) -> pa.Array:
+    """(n, d) float32 -> FixedSizeBinary(d*4) column from ONE buffer."""
+    n, d = emb32.shape
+    return pa.Array.from_buffers(
+        pa.binary(d * 4), n,
+        [None, pa.py_buffer(np.ascontiguousarray(emb32, dtype=np.float32).tobytes())],
+    )
+
+
+def _fixed_bin_matrix(col, dtype=np.float32) -> np.ndarray:
+    """FixedSizeBinary column -> (n, width/itemsize) matrix, zero-copy-ish."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    w = a.type.byte_width
+    data = np.frombuffer(a.buffers()[1], dtype=np.uint8)
+    start = a.offset * w
+    flat = data[start: start + len(a) * w]
+    if flat.ctypes.data % np.dtype(dtype).itemsize:
+        flat = flat.copy()
+    return flat.view(dtype).reshape(len(a), w // np.dtype(dtype).itemsize)
+
+
+def _topk_rows(qids, cids_sorted, cos, k):
+    """Vectorized per-row top-k with (cos desc, id asc) tie-break: cids MUST
+    be pre-sorted ascending so the stable argsort resolves ties by id."""
+    kk = min(k, cos.shape[1])
+    top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+    nq = qids.shape[0]
+    return (
+        np.repeat(qids.astype(np.int64), kk),
+        cids_sorted[top].ravel().astype(np.int64),
+        np.tile(np.arange(1, kk + 1, dtype=np.int64), nq),
+        np.take_along_axis(cos, top, axis=1).ravel(),
+    )
+
+
 def brute_force_topk(queries, candidates, k: int = 10,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      exclude_self: bool = True):
     """-> Dataset(query_id, neighbor_id, rank, cos). Candidates broadcast once."""
-    cids, cemb = _collect_matrix(candidates, id_col, emb_col)
+    cids, cemb = _collect_matrix(candidates, id_col, emb_col)  # id-sorted
     cemb = _normalize(cemb)
     ref = ray.put((cids, cemb))
 
@@ -51,19 +96,12 @@ def brute_force_topk(queries, candidates, k: int = 10,
         cos = np.round(q @ emb.T, 6)
         if exclude_self:
             cos[ids[None, :] == qids[:, None]] = -np.inf
-        out_q, out_n, out_r, out_c = [], [], [], []
-        kk = min(k, cos.shape[1])
-        for i in range(q.shape[0]):
-            order = np.lexsort((ids, -cos[i]))[:kk]
-            out_q.extend([int(qids[i])] * kk)
-            out_n.extend(ids[order].tolist())
-            out_r.extend(range(1, kk + 1))
-            out_c.extend(cos[i][order].tolist())
+        oq, on, orr, oc = _topk_rows(qids, ids, cos, k)
         return pa.table({
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "neighbor_id": pa.array(out_n, type=pa.int64()),
-            "rank": pa.array(out_r, type=pa.int64()),
-            "cos": pa.array(out_c, type=pa.float64()),
+            "query_id": pa.array(oq),
+            "neighbor_id": pa.array(on),
+            "rank": pa.array(orr),
+            "cos": pa.array(oc),
         })
 
     return queries.map_batches(_topk, batch_format="pyarrow")
@@ -85,19 +123,17 @@ def _kmeans_centroids(sample: np.ndarray, n_cells: int, seed: int, iters: int = 
 
 def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             exclude_self: bool = True, seed: int = 42, sample_rows: int = 20_000):
+             exclude_self: bool = True, seed: int = 42, sample_rows: int = 20_000,
+             num_partitions: int = 16):
     """IVF approximate top-k: centroids from a seeded sample; candidates
     bucketed per cell; queries probe their n_probe nearest cells; per-cell
-    local top-k merged per query. Recall < 1.0 by design — tested against the
-    brute-force baseline.
+    local top-k merged per query bucket. Recall < 1.0 by design — tested
+    against the brute-force baseline.
     """
-    import pandas as pd
-
     # --- train coarse quantizer on a small deterministic sample ---
-    sample_ds = candidates.random_sample(1.0, seed=seed) if sample_rows is None else candidates
     first = []
     got = 0
-    for b in sample_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+    for b in candidates.iter_batches(batch_size=4096, batch_format="pyarrow"):
         first.append(b.select([emb_col]))
         got += b.num_rows
         if got >= sample_rows:
@@ -108,94 +144,105 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int =
     cents = _kmeans_centroids(sample, n_cells, seed)
     cref = ray.put(cents)
 
-    # --- bucket candidates by nearest centroid ---
+    # --- candidate side: (cell, id, emb) rows, embeddings packed from one buffer ---
     def _assign(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
         emb = _normalize(np.stack(t.column(emb_col).to_numpy(zero_copy_only=False)).astype(np.float64))
         cell = np.argmax(emb @ c.T, axis=1).astype(np.int64)
         return pa.table({
             "cell": pa.array(cell),
-            id_col: t[id_col],
-            emb_col: t[emb_col],
+            "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "vec": t[id_col].cast(pa.int64()),
+            "emb": _emb_fixed_bin(emb.astype(np.float32)),
         })
 
-    bucketed = candidates.map_batches(_assign, batch_format="pyarrow")
+    cand_rows = candidates.map_batches(_assign, batch_format="pyarrow")
 
-    # --- probe: explode each query into its n_probe cells ---
+    # --- query side: one probe row per (query, probed cell) ---
     def _probe(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        emb = _normalize(np.stack(t.column(emb_col).to_numpy(zero_copy_only=False)).astype(np.float64))
+        emb = _normalize(np.stack(t.column(emb_col).to_numpy(zero_copy_only=False)).astype(np.float64)).astype(np.float32)
         qids = t.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(-(emb @ c.T), axis=1)[:, :n_probe]
+        order = np.argsort(-(emb.astype(np.float64) @ c.T), axis=1, kind="stable")[:, :n_probe]
         n, p = order.shape
+        rep = np.repeat(np.arange(n), p)
         return pa.table({
             "cell": pa.array(order.ravel().astype(np.int64)),
-            "query_id": pa.array(np.repeat(qids, p)),
-            "q_emb": pa.array(
-                [emb[i].astype(np.float32).tobytes() for i in range(n) for _ in range(p)],
-                type=pa.binary(),
-            ),
+            "__side": pa.array(np.ones(n * p, dtype=np.int8)),
+            "vec": pa.array(np.repeat(qids.astype(np.int64), p)),
+            "emb": _emb_fixed_bin(emb[rep]),
         })
 
-    probes = queries.map_batches(_probe, batch_format="pyarrow")
+    probe_rows = queries.map_batches(_probe, batch_format="pyarrow")
 
-    # --- per-cell local top-k: group candidates + probes by cell ---
-    def _cell_topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        is_q = g["__side"] == "q"
-        qg = g[is_q]
-        cg = g[~is_q]
-        if len(qg) == 0 or len(cg) == 0:
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "neighbor_id": pd.Series([], dtype=np.int64),
-                                 "cos": pd.Series([], dtype=np.float64)})
-        cids = cg["vec"].to_numpy().astype(np.int64)
-        cemb = _normalize(np.stack([np.frombuffer(b, dtype=np.float32) for b in cg["emb"]]).astype(np.float64))
-        qids = qg["vec"].to_numpy().astype(np.int64)
-        qemb = _normalize(np.stack([np.frombuffer(b, dtype=np.float32) for b in qg["emb"]]).astype(np.float64))
+    # --- per-cell local top-k (one vectorized kernel per cell) ---
+    def _cell_topk(t: pa.Table) -> pa.Table:
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        vec = t.column("vec").to_numpy(zero_copy_only=False)
+        emb = _fixed_bin_matrix(t.column("emb")).astype(np.float64)
+        is_q = side == 1
+        qids, qemb = vec[is_q], emb[is_q]
+        cids, cemb = vec[~is_q], emb[~is_q]
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "cos": pa.array([], type=pa.float64()),
+        })
+        if qids.shape[0] == 0 or cids.shape[0] == 0:
+            return empty
+        order = np.argsort(cids)  # id-asc for the stable tie-break
+        cids, cemb = cids[order], cemb[order]
         cos = np.round(qemb @ cemb.T, 6)
         if exclude_self:
             cos[cids[None, :] == qids[:, None]] = -np.inf
-        kk = min(k, cos.shape[1])
-        rows_q, rows_n, rows_c = [], [], []
-        for i in range(qemb.shape[0]):
-            order = np.lexsort((cids, -cos[i]))[:kk]
-            rows_q.extend([int(qids[i])] * kk)
-            rows_n.extend(cids[order].tolist())
-            rows_c.extend(cos[i][order].tolist())
-        return pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n, "cos": rows_c})
+        oq, on, _, oc = _topk_rows(qids, cids, cos, k)
+        keep = oc > -np.inf
+        return pa.table({
+            "query_id": pa.array(oq[keep]),
+            "neighbor_id": pa.array(on[keep]),
+            "cos": pa.array(oc[keep]),
+        })
 
-    cand_rows = bucketed.map_batches(
-        lambda t: pa.table({
-            "cell": t["cell"],
-            "__side": pa.array(["c"] * t.num_rows),
-            "vec": t[id_col].cast(pa.int64()),
-            "emb": pa.array(
-                [np.asarray(e, dtype=np.float32).tobytes() for e in t.column(emb_col).to_pylist()],
-                type=pa.binary(),
-            ),
-        }),
-        batch_format="pyarrow",
-    )
-    probe_rows = probes.map_batches(
-        lambda t: pa.table({
-            "cell": t["cell"],
-            "__side": pa.array(["q"] * t.num_rows),
-            "vec": t["query_id"].cast(pa.int64()),
-            "emb": t["q_emb"],
-        }),
-        batch_format="pyarrow",
-    )
     local = cand_rows.union(probe_rows).groupby("cell").map_groups(
-        _cell_topk, batch_format="pandas"
+        lambda t: _cell_topk(t.drop_columns(["cell"])), batch_format="pyarrow"
     )
 
-    # --- merge per query: global top-k across probed cells ---
-    def _merge(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.drop_duplicates(subset=["neighbor_id"]).sort_values(
-            ["cos", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # --- merge per query: hash-bucketed, one lexsort+segment kernel per bucket ---
+    def _merge_bucket(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        if q.shape[0] == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            })
+        nid = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        cos = t.column("cos").to_numpy(zero_copy_only=False)
+        # dedup (query, neighbor) — the same neighbor can surface from
+        # several probed cells — keeping its best (they're equal anyway)
+        o1 = np.lexsort((-cos, nid, q))
+        q, nid, cos = q[o1], nid[o1], cos[o1]
+        first = np.empty(q.shape[0], dtype=bool)
+        first[0] = True
+        first[1:] = (q[1:] != q[:-1]) | (nid[1:] != nid[:-1])
+        q, nid, cos = q[first], nid[first], cos[first]
+        # rank within query by (cos desc, id asc), keep rank <= k
+        o2 = np.lexsort((nid, -cos, q))
+        q, nid, cos = q[o2], nid[o2], cos[o2]
+        newq = np.empty(q.shape[0], dtype=bool)
+        newq[0] = True
+        np.not_equal(q[1:], q[:-1], out=newq[1:])
+        starts = np.flatnonzero(newq)
+        rank = np.arange(q.shape[0], dtype=np.int64) - starts[np.cumsum(newq) - 1] + 1
+        keep = rank <= k
+        return pa.table({
+            "query_id": pa.array(q[keep]),
+            "neighbor_id": pa.array(nid[keep]),
+            "cos": pa.array(cos[keep]),
+            "rank": pa.array(rank[keep]),
+        })
 
-    return local.groupby("query_id").map_groups(_merge, batch_format="pandas")
+    from .common import bucketed_map_groups
+
+    return bucketed_map_groups(local, ["query_id"], _merge_bucket, num_partitions)

@@ -46,12 +46,25 @@ def _edges_from_tagged(t: pa.Table) -> pa.Table:
 
 
 def _pack_sha_batch(t: pa.Table) -> pa.Table:
-    """(sha256 hex, node) -> (k0..k3 uint64 words, node): the full 256-bit
-    digest packed into four fixed-width key columns (16 B + node per row, no
-    truncation — grouping on all four words is exactly grouping on sha256)."""
+    """(sha_k0..k3 | sha256 hex, node) -> (k0..k3 int64 words, node).
+
+    Fingerprint already emits the digest as four 63-bit key words
+    (``sha_k0..3`` — see functions.hashing.sha256_hex_and_words); grouping on
+    all four is collision-free grouping on 252 bits of sha256. Falls back to
+    parsing the hex column for inputs that lack the packed words."""
+    if "sha_k0" in t.column_names:
+        return pa.table({
+            "k0": t["sha_k0"], "k1": t["sha_k1"],
+            "k2": t["sha_k2"], "k3": t["sha_k3"],
+            "node": t["node"],
+        })
     shas = t.column("sha256").to_pylist()
     raw = b"".join(bytes.fromhex(s) for s in shas)
-    m = np.frombuffer(raw, dtype=np.uint64).reshape(-1, 4)
+    if raw:
+        m = (np.frombuffer(raw, dtype=np.uint64).reshape(-1, 4)
+             & np.uint64((1 << 63) - 1)).astype(np.int64)
+    else:
+        m = np.empty((0, 4), dtype=np.int64)
     return pa.table({
         "k0": pa.array(m[:, 0]),
         "k1": pa.array(m[:, 1]),
@@ -74,7 +87,10 @@ def exact_collapse(features, cfg: LinkageConfig):
 
     n_rows = features.count()
     packed = features.map_batches(
-        lambda t: _pack_sha_batch(t.select(["sha256", "node"])),
+        lambda t: _pack_sha_batch(t.select(
+            [c for c in ("sha_k0", "sha_k1", "sha_k2", "sha_k3", "sha256", "node")
+             if c in t.column_names]
+        )),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -86,10 +86,11 @@ class FeaturizeStage:
                 )
                 if len(self._cache) < _CACHE_MAX:
                     self._cache[sha] = feats
+            sha_to_k = {s: k for k, (s, _) in enumerate(uniq)}
             for i in miss_idx:
                 feats = self._cache.get(shas[i])
-                if feats is None:  # cache full: recompute via the first index
-                    k = next(k for k, (s, _) in enumerate(uniq) if s == shas[i])
+                if feats is None:  # cache full: reuse this batch's kernel output
+                    k = sha_to_k[shas[i]]
                     feats = (
                         sig_m[k].tobytes(),
                         emb_m[k],

@@ -15,7 +15,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.hashing import hex16_to_node, row_id_hex, sha256_hex
+from ..functions.hashing import hex16_to_node, row_id_hex, sha256_hex_and_words
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
@@ -26,7 +26,12 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     rid = row_id_hex(repos, paths, commits)
     batch = batch.append_column("row_id", pa.array(rid, type=pa.string()))
     batch = batch.append_column("node", pa.array(hex16_to_node(rid)))
-    batch = batch.append_column("sha256", pa.array(sha256_hex(contents), type=pa.string()))
+    # one digest pass yields both the hex invariant column and the packed
+    # 63-bit key words exact_collapse groups on (no re-hash, no hex parse)
+    sha_hex, words = sha256_hex_and_words(contents)
+    batch = batch.append_column("sha256", pa.array(sha_hex, type=pa.string()))
+    for i in range(4):
+        batch = batch.append_column(f"sha_k{i}", pa.array(words[:, i]))
     return batch
 
 

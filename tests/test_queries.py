@@ -23,6 +23,8 @@ SUBSET = [
     "quality_score",
     "embedding_topk",
     "retrieval_rate",
+    "tokenize_pad",
+    "transform_mentions",
 ]
 
 
@@ -70,3 +72,30 @@ def test_entry_smoke():
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     assert len(df) >= 0
     assert "cluster" in df.columns and "sha256" in df.columns
+
+
+def test_anti_join_plans_agree():
+    """customers_without_orders: the broadcast plan and the forced
+    hash-shuffle anti-join plan return identical rows."""
+    from entity_linking_ray.pipelines.queries import q_customers_without_orders
+
+    a = q_customers_without_orders(SF).to_pandas()
+    b = q_customers_without_orders(SF, broadcast_key_limit=0).to_pandas()
+    key = ["c_custkey", "c_acctbal"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values("c_custkey").reset_index(drop=True),
+        b[key].sort_values("c_custkey").reset_index(drop=True),
+    )
+
+
+def test_minhash_verify_plans_agree():
+    """minhash_near_dup: broadcast shingle lookup == shingle hash-join plan."""
+    from entity_linking_ray.pipelines.queries import q_minhash_near_dup
+
+    a = q_minhash_near_dup(SF).to_pandas()
+    b = q_minhash_near_dup(SF, broadcast_limit=0).to_pandas()
+    cols = ["doc_a", "doc_b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        b[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+    )
