@@ -184,11 +184,18 @@ def run_scaling() -> dict:
             BENCH_HEADLINE_ONLY="1",
             BENCH_SCALING_CORPUS=corpus_dir,
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        last_err = None
+        for attempt in range(2):  # one retry: shared-sandbox runs can die transiently
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                return json.loads(r.stdout.strip().splitlines()[-1])
+            last_err = r.stderr[-2000:]
+            print(f"[scaling] run(num_cpus={ncpu}) attempt {attempt} failed:\n{last_err}",
+                  file=sys.stderr)
+        raise RuntimeError(f"bench child failed twice at num_cpus={ncpu}: {last_err}")
 
     # single-run wall clocks on this sandbox swing ±20-40% (shared host,
     # THP/compaction stalls): interleave lo/hi repetitions so drift hits both

@@ -33,6 +33,16 @@ class LinkageConfig:
     max_block_size: int = 64  # salt blocks larger than this
     salt_shard_size: int = 32  # rows per salted shard (plus the representative)
     broadcast_key_limit: int = 2_000_000  # multi-key filter via broadcast below this
+    # "pairs" (default): expand pairs per band partition, dedup (src, dst)
+    # directly. "blocks": dedup identical member SETS (block descriptors)
+    # BEFORE pair expansion — wins only when many bands share exactly the
+    # same member set; after exact-collapse has removed identical files,
+    # near-dup variants collide in DIFFERENT subsets per band, so measured
+    # A/B on the 375k bench corpus: pairs ~15-17 s vs blocks ~19-21 s at 16
+    # CPUs, identical output (test_lsh_pair_plans_identical). Kept as the
+    # plan for corpora with massive identical-set clusters (e.g. no
+    # exact-collapse stage upstream).
+    pair_plan: str = "pairs"
 
     # --- scoring (reference analog: dot product eval_zeshel.py:44;
     #     fallbacks per the north rule) ---
@@ -45,8 +55,12 @@ class LinkageConfig:
     # --- scoring plan selection ---
     # feature tables up to this many rows are broadcast once via ray.put and
     # pairs are scored with zero shuffle (lookup by sorted node id); larger
-    # tables use hash-shuffle feature joins. ~1.3 KB/row -> ~1.3 GB ceiling.
-    broadcast_feature_rows: int = 1_000_000
+    # tables use hash-shuffle feature joins. ~1.3 KB/row -> ~4 GB at the
+    # default gate: one zero-copy plasma mmap per NODE (not per worker), so
+    # size this to ~5% of per-node object-store memory. Crossing the gate
+    # costs ~5x on one box (the per-pair feature join ships KB-sized rows),
+    # so prefer raising it as long as the packed features fit comfortably.
+    broadcast_feature_rows: int = 3_000_000
 
     # --- clustering ---
     max_cc_rounds: int = 25

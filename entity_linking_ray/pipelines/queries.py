@@ -243,23 +243,57 @@ def q_orders_per_nation(sf_dir: str):
     )
 
 
-def q_customers_with_orders(sf_dir: str):
-    """Semi join via broadcast key set (M5/A3: split-overlap audit,
-    transform_zeshel.py:69-74)."""
+def q_customers_with_orders(sf_dir: str, broadcast_key_limit: int = 2_000_000):
+    """Semi join (M5/A3: split-overlap audit, transform_zeshel.py:69-74).
+
+    Size-gated like the anti join: the fact-side key projection is deduped
+    per block in the map tasks, then either broadcast as one sorted numpy
+    array (zero-shuffle membership test) or — above the gate — semi-joined
+    via dedup + inner hash join."""
+    key_ds = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({
+            "o_custkey": pa.array(np.unique(
+                t.column("o_custkey").to_numpy(zero_copy_only=False)
+            ))
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    if key_ds.count() > broadcast_key_limit:
+        from ..stages.common import partitioned_aggregate
+
+        keys = partitioned_aggregate(
+            key_ds.map_batches(
+                lambda t: t.append_column(
+                    "__hit", pa.array(np.ones(t.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            ),
+            ["o_custkey"], [("__hit", "min", "__hit")], num_partitions=NPART,
+        )
+        j = safe_join(
+            cust, keys, join_type="inner", num_partitions=NPART,
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
+        out = j.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+        return scrub_empty_blocks(out)
+
     custkeys = np.sort(np.unique(np.concatenate([
         ray.get(r).column("o_custkey").to_numpy()
-        for r in _t(sf_dir, "orders", ["o_custkey"]).to_arrow_refs()
-    ])))
+        for r in key_ds.to_arrow_refs()
+    ] or [np.empty(0, dtype=np.int64)])))
     ref = ray.put(custkeys)
 
     def semi(t: pa.Table) -> pa.Table:
         k = ray.get(ref)
         ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        if k.shape[0] == 0:
+            return t.slice(0, 0)
         idx = np.searchsorted(k, ck)
         idx[idx >= k.shape[0]] = 0
         return t.filter(pa.array(k[idx] == ck))
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     out = cust.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
     return scrub_empty_blocks(out)

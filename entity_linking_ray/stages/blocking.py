@@ -271,22 +271,39 @@ def lsh_candidate_pairs(reps, cfg: LinkageConfig):
     """
     P = cfg.shuffle_partitions
 
-    pairs = (
-        reps.map_batches(
-            lambda t: explode_bands_parted(t, cfg, P),
+    band_rows = reps.map_batches(
+        lambda t: explode_bands_parted(t, cfg, P),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    if cfg.pair_plan == "blocks":
+        # block-descriptor plan: near-identical files form the SAME member
+        # set in most of their 32 bands, so the raw pair stream duplicates
+        # every true pair ~bands times. Emitting one descriptor per block
+        # (set-hash, band key, packed members) and deduping IDENTICAL member
+        # sets before pair expansion shrinks the widest exchange ~an order
+        # of magnitude; only pairs from *distinct-but-overlapping* sets
+        # reach the final (src, dst) dedup.
+        descs = band_rows.groupby("__part").map_groups(
+            lambda t: part_block_descs(t.drop_columns(["__part"]), cfg, P),
             batch_format="pyarrow",
-            zero_copy_batch=True,
         )
-        .groupby("__part")
-        .map_groups(
+        pairs = descs.groupby("__p2").map_groups(
+            lambda t: expand_block_descs(t.drop_columns(["__p2"]), cfg, P),
+            batch_format="pyarrow",
+        )
+    else:
+        pairs = band_rows.groupby("__part").map_groups(
             lambda t: part_pairs(t.drop_columns(["__part"]), cfg, P),
             batch_format="pyarrow",
         )
-    )
     deduped = (
-        pairs.groupby("__p2")
+        pairs.groupby("__p2" if cfg.pair_plan != "blocks" else "__p3")
         .map_groups(
-            lambda t: _dedup_min_band(t.drop_columns(["__p2"])),
+            lambda t: _dedup_min_band(
+                t.drop_columns(["__p2" if cfg.pair_plan != "blocks" else "__p3"])
+            ),
             batch_format="pyarrow",
         )
     )
@@ -348,13 +365,35 @@ def part_pairs(t: pa.Table, cfg: LinkageConfig, P: int | None = None) -> pa.Tabl
         "band_key": pa.array([], type=pa.int64()),
         **({"__p2": pa.array([], type=pa.int64())} if P is not None else {}),
     })
+    built = _salted_block_rows(t, cfg)
+    if built is None:
+        return empty
+    keys_all, nodes_all = built
+    src, dst, bk = _pairs_kernel(keys_all, nodes_all, cfg.max_block_size)
+    if src.shape[0] == 0:
+        return empty
+    src, dst, bk = _pair_dedup_local(src, dst, bk)
+    cols = {
+        "src": pa.array(src),
+        "dst": pa.array(dst),
+        "band_key": pa.array(bk),
+    }
+    if P is not None:
+        h = splitmix64(splitmix64(dst.astype(np.uint64)) ^ src.astype(np.uint64))
+        cols["__p2"] = pa.array((h % np.uint64(P)).astype(np.int64))
+    return pa.table(cols)
+
+
+def _salted_block_rows(t: pa.Table, cfg: LinkageConfig):
+    """Shared block construction for one band partition: singleton drop +
+    hot-block salting. Returns post-salt (band_key, node) arrays or None."""
     k = t.column("band_key").to_numpy(zero_copy_only=False)
     n = t.column("node").to_numpy(zero_copy_only=False)
     order = np.lexsort((n, k))
     k, n = k[order], n[order]
     m = k.shape[0]
     if m < 2:
-        return empty
+        return None
     new_block = np.empty(m, dtype=bool)
     new_block[0] = True
     np.not_equal(k[1:], k[:-1], out=new_block[1:])
@@ -371,30 +410,120 @@ def part_pairs(t: pa.Table, cfg: LinkageConfig, P: int | None = None) -> pa.Tabl
             k[hot], n[hot], row_count[hot], rep_per_row[hot],
             cfg.salt_shard_size,
         )
-        keys_all = np.concatenate([k[norm], k2])
-        nodes_all = np.concatenate([n[norm], n2])
-    else:
-        keys_all, nodes_all = k[norm], n[norm]
-    src, dst, bk = _pairs_kernel(keys_all, nodes_all, cfg.max_block_size)
-    if src.shape[0] == 0:
-        return empty
-    # within-partition pre-dedup (same pair from several bands of this
-    # partition collapses here; min band key kept)
+        return np.concatenate([k[norm], k2]), np.concatenate([n[norm], n2])
+    return k[norm], n[norm]
+
+
+def _pair_dedup_local(src, dst, bk):
+    """Within-partition (src, dst) dedup keeping the minimum band key."""
     order = np.lexsort((bk, dst, src))
     src, dst, bk = src[order], dst[order], bk[order]
     first = np.empty(src.shape[0], dtype=bool)
     first[0] = True
     first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
-    src, dst, bk = src[first], dst[first], bk[first]
-    cols = {
+    return src[first], dst[first], bk[first]
+
+
+_DESC_EMPTY = pa.table({
+    "mhash": pa.array([], type=pa.int64()),
+    "band_key": pa.array([], type=pa.int64()),
+    "members": pa.array([], type=pa.large_binary()),
+    "__p2": pa.array([], type=pa.int64()),
+})
+
+
+def part_block_descs(t: pa.Table, cfg: LinkageConfig, P: int) -> pa.Table:
+    """One band partition -> BLOCK DESCRIPTORS: (set-hash, band_key, packed
+    sorted member ids), tagged with the set-hash bucket. Identical member
+    sets (the same near-dup cluster colliding in many bands) collapse in the
+    next stage BEFORE pair expansion, so the widest exchange carries one row
+    per distinct block instead of ~bands copies of every pair."""
+    built = _salted_block_rows(t, cfg)
+    if built is None:
+        return _DESC_EMPTY
+    k, n = built
+    order = np.lexsort((n, k))
+    k, n = k[order], n[order]
+    m = k.shape[0]
+    if m < 2:
+        return _DESC_EMPTY
+    new_block = np.empty(m, dtype=bool)
+    new_block[0] = True
+    np.not_equal(k[1:], k[:-1], out=new_block[1:])
+    starts = np.flatnonzero(new_block)
+    block_id = np.cumsum(new_block) - 1
+    pos = np.arange(m) - starts[block_id]
+    keep = pos < cfg.max_block_size  # deterministic id-sorted truncation
+    if not keep.all():
+        k, n = k[keep], n[keep]
+        m = k.shape[0]
+        new_block = np.empty(m, dtype=bool)
+        new_block[0] = True
+        np.not_equal(k[1:], k[:-1], out=new_block[1:])
+        starts = np.flatnonzero(new_block)
+    sizes = np.diff(np.append(starts, m))
+    multi = sizes >= 2
+    if not multi.any():
+        return _DESC_EMPTY
+    # order-independent member-set hash: XOR of per-member mixes + size mix
+    mixed = splitmix64(n.astype(np.uint64) + np.uint64(0xD1B5))
+    xors = np.bitwise_xor.reduceat(mixed, starts)
+    mh = (
+        splitmix64(xors ^ splitmix64(sizes.astype(np.uint64))) & _MASK63
+    ).astype(np.int64)
+    s_multi = starts[multi]
+    z_multi = sizes[multi]
+    blobs = [n[s: s + z].tobytes() for s, z in zip(s_multi, z_multi)]
+    mh = mh[multi]
+    return pa.table({
+        "mhash": pa.array(mh),
+        "band_key": pa.array(k[s_multi]),
+        "members": pa.array(blobs, type=pa.large_binary()),
+        "__p2": pa.array((mh.astype(np.uint64) % np.uint64(P)).astype(np.int64)),
+    })
+
+
+def expand_block_descs(t: pa.Table, cfg: LinkageConfig, P: int) -> pa.Table:
+    """One set-hash bucket of block descriptors -> locally-deduped pairs.
+
+    Identical member blobs collapse to one block (minimum band key kept —
+    identical sets always share mhash, so the collapse is complete); the
+    surviving distinct blocks expand through the shared segment-math pairs
+    kernel, and overlapping-but-distinct sets' duplicate pairs are deduped
+    locally, tagged ``__p3`` for the final (src, dst) exchange."""
+    empty = pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64()),
+        "band_key": pa.array([], type=pa.int64()),
+        "__p3": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    bk = t.column("band_key").to_numpy(zero_copy_only=False)
+    blobs = t.column("members").to_pylist()
+    # distinct member sets, min band key: one sort over (blob, band)
+    order = sorted(range(len(blobs)), key=lambda i: (blobs[i], bk[i]))
+    keep_idx = []
+    prev = None
+    for i in order:
+        if blobs[i] != prev:
+            keep_idx.append(i)
+            prev = blobs[i]
+    sizes = np.array([len(blobs[i]) // 8 for i in keep_idx], dtype=np.int64)
+    nodes = np.frombuffer(b"".join(blobs[i] for i in keep_idx), dtype=np.int64)
+    block_ids = np.repeat(np.arange(len(keep_idx), dtype=np.int64), sizes)
+    src, dst, kidx = _pairs_kernel(block_ids, nodes, cfg.max_block_size)
+    if src.shape[0] == 0:
+        return empty
+    bands = bk[np.asarray(keep_idx, dtype=np.int64)][kidx]
+    src, dst, bands = _pair_dedup_local(src, dst, bands)
+    h = splitmix64(splitmix64(dst.astype(np.uint64)) ^ src.astype(np.uint64))
+    return pa.table({
         "src": pa.array(src),
         "dst": pa.array(dst),
-        "band_key": pa.array(bk),
-    }
-    if P is not None:
-        h = splitmix64(splitmix64(dst.astype(np.uint64)) ^ src.astype(np.uint64))
-        cols["__p2"] = pa.array((h % np.uint64(P)).astype(np.int64))
-    return pa.table(cols)
+        "band_key": pa.array(bands),
+        "__p3": pa.array((h % np.uint64(P)).astype(np.int64)),
+    })
 
 
 def _salt_rows(hk, hn, counts, reps, shard_size):

@@ -86,18 +86,21 @@ def exact_collapse(features, cfg: LinkageConfig):
     import ray.data
 
     n_rows = features.count()
-    packed = features.map_batches(
-        lambda t: _pack_sha_batch(t.select(
+
+    def _pack_block(t: pa.Table) -> pa.Table:
+        return _pack_sha_batch(t.select(
             [c for c in ("sha_k0", "sha_k1", "sha_k2", "sha_k3", "sha256", "node")
              if c in t.column_names]
-        )),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        ))
 
     if n_rows <= cfg.broadcast_feature_rows:
+        # raw tasks over the (already materialized / checkpointed) feature
+        # blocks ship the 40-byte projections straight to the driver — no
+        # extra Dataset execution
+        pack_task = ray.remote(num_cpus=1)(_pack_block)
         tabs = [
-            t for t in (ray.get(r) for r in packed.to_arrow_refs()) if t.num_rows
+            t for t in ray.get([pack_task.remote(r) for r in features.to_arrow_refs()])
+            if t.num_rows
         ]
         if not tabs:
             empty_edges = ray.data.from_arrow(_edges_from_tagged(pa.table({
@@ -156,7 +159,8 @@ def exact_collapse(features, cfg: LinkageConfig):
         return pa.table({"rep_node": j.column("node_min"), "node": j.column("node")})
 
     mapping = (
-        packed.map_batches(_add_part, batch_format="pyarrow")
+        features.map_batches(_pack_block, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(_rep_emit, batch_format="pyarrow")
         .materialize()

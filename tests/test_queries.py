@@ -88,6 +88,19 @@ def test_anti_join_plans_agree():
     )
 
 
+def test_semi_join_plans_agree():
+    """customers_with_orders: broadcast plan == hash-shuffle semi-join plan."""
+    from entity_linking_ray.pipelines.queries import q_customers_with_orders
+
+    a = q_customers_with_orders(SF).to_pandas()
+    b = q_customers_with_orders(SF, broadcast_key_limit=0).to_pandas()
+    key = ["c_mktsegment", "n_customers"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values("c_mktsegment").reset_index(drop=True),
+        b[key].sort_values("c_mktsegment").reset_index(drop=True),
+    )
+
+
 def test_minhash_verify_plans_agree():
     """minhash_near_dup: broadcast shingle lookup == shingle hash-join plan."""
     from entity_linking_ray.pipelines.queries import q_minhash_near_dup

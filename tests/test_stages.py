@@ -133,6 +133,34 @@ def test_candidate_pairs_unique_and_ordered():
     assert len(pairs) == 6  # all 4-choose-2 near-dup pairs survive band dedup
 
 
+def test_lsh_pair_plans_identical():
+    """The block-descriptor plan and the direct pair plan emit the SAME
+    unique pair set with the SAME minimum band keys (hot blocks included so
+    salting goes through both paths)."""
+    import dataclasses
+
+    from entity_linking_ray.stages.blocking import lsh_candidate_pairs
+    from entity_linking_ray.stages.exact import exact_collapse
+
+    content = "def f(a):\n  return a + 1\n" * 10
+    rows = [("r%d" % i, "f%d.py" % i, content + f"# v{i % 7}") for i in range(40)]
+    cfg = dataclasses.replace(CFG, max_block_size=8, salt_shard_size=4)
+    feats = featurize(fingerprint(rd.from_arrow(_corpus_tbl(rows))), cfg).materialize()
+    _, reps, _ = exact_collapse(feats, cfg)
+    reps = reps.materialize()
+
+    def pair_set(plan):
+        c = dataclasses.replace(cfg, pair_plan=plan)
+        return {
+            (r["src"], r["dst"], r["block_key"])
+            for r in lsh_candidate_pairs(reps, c).take_all()
+        }
+
+    a = pair_set("blocks")
+    b = pair_set("pairs")
+    assert a and a == b
+
+
 @pytest.mark.parametrize(
     "cfg",
     [CFG, LinkageConfig(shuffle_partitions=4, driver_cc_edge_limit=0)],
