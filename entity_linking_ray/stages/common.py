@@ -16,6 +16,136 @@ def default_partitions(cap: int = 16) -> int:
     return max(2, min(cap, cpus))
 
 
+def collect_projected(ds, pack_fn):
+    """Run ``pack_fn`` (Table -> compact Table) over ``ds`` as a Dataset map
+    and collect the small outputs to the driver.
+
+    The projection executes WHERE THE BLOCKS LIVE (node-local at multi-node
+    scale) and only the packed columns cross the wire. Implemented as a
+    Dataset ``map_batches`` rather than a raw ``ray.remote`` fan-out: a raw
+    per-block task storm right after an actor-pool stage was measured at
+    ~15 s for 200 trivial tasks at 16 CPUs (cold-worker churn), while the
+    Data executor's warm pool does the same projection in ~2 s.
+
+    Returns the list of non-empty packed Arrow tables."""
+    import ray
+
+    # batch_size=None maps block -> block with no rebatching copy of the wide
+    # input columns; empty outputs are dropped after the driver collect
+    proj = ds.map_batches(
+        pack_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return [t for t in ray.get(proj.to_arrow_refs()) if t.num_rows]
+
+
+def _split_by(t, col: str, P: int):
+    """Table -> P tables sliced by the int bucket column ``col`` (values must
+    lie in [0, P)); the bucket column is dropped. One argsort + P slices."""
+    import numpy as np
+
+    pcol = t.column(col).to_numpy(zero_copy_only=False)
+    order = np.argsort(pcol, kind="stable")
+    ts = t.drop_columns([col]).take(order)
+    counts = np.bincount(pcol[order], minlength=P)
+    offs = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return [ts.slice(offs[i], counts[i]) for i in range(P)]
+
+
+def _concat_shards(tabs):
+    """Concat block shards tolerating Ray 2.49's degenerate empty blocks
+    (groupby/join outputs can emit 0-row blocks with ``schema=[]``, which an
+    upstream ``_add_part`` turns into a ``__part``-only schema) and benign
+    column-order drift between blocks."""
+    import pyarrow as pa
+
+    live = [t for t in tabs if t.num_rows]
+    if not live:
+        # all empty: keep the widest schema so downstream column refs survive
+        return max(tabs, key=lambda t: t.num_columns)
+    if len(live) == 1:
+        return live[0]
+    names = live[0].column_names
+    live = [t if t.column_names == names else t.select(names) for t in live]
+    return pa.concat_tables(live)
+
+
+def _exch_split(col, P, *tabs):
+    t = _concat_shards(tabs)
+    if col not in t.column_names:  # all-degenerate empties: no rows to route
+        return [t] * P
+    return _split_by(t, col, P)
+
+
+def _exch_reduce(kernel, col2, P, *shards):
+    out = kernel(_concat_shards(shards))
+    if col2 is None:
+        return out
+    return _split_by(out, col2, P)
+
+
+def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4):
+    """Manual hash exchange: split every block by the int bucket column
+    ``col`` (values in [0, P)), one reduce task per bucket runs
+    ``kernel(concat_of_its_shards)``. Returns a Dataset of the reduce outputs.
+
+    ~4x faster than ``groupby(part).map_groups`` on compact rows: Ray's
+    groupby physically RANGE-SORTS (boundary sampling + per-block sort + merge
+    exchange) where an int bucket column only needs a bincount split and a
+    concat (measured on the 375k-file bench corpus at 16 CPUs: 1.9 s vs 8.1 s
+    for the two blocking exchanges).
+
+    Contract:
+    - rows must be compact (the exchange holds every shard in the object
+      store at once with no streaming backpressure — fine for 16-32 B shuffle
+      rows, wrong for wide payloads; keep those on Ray-native ops),
+    - ``kernel`` must accept an empty table (buckets can be empty),
+    - the bucket column is dropped before the kernel sees the table.
+
+    When ``col2``/``kernel2`` are given, the first reduce's output is re-split
+    by ``col2`` in the same task and a second reduce wave applies ``kernel2``
+    — two shuffles for the price of one task round-trip.
+
+    Multi-node note: object count is ``ceil(blocks / refs_per_task) * P``;
+    raise ``refs_per_task`` when fanning out to hundreds of partitions so the
+    object-store metadata stays bounded.
+    """
+    import ray
+    import ray.data
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    split_t = ray.remote(num_cpus=1)(_exch_split)
+    red_t = ray.remote(num_cpus=1)(_exch_reduce)
+    if P == 1:
+        def _k1(t, _kernel=kernel, _col=col):
+            return _kernel(t.drop_columns([_col]) if _col in t.column_names else t)
+
+        one = red_t.remote(_k1, None, 1, *refs)
+        if kernel2 is not None:
+            def _k2(t, _kernel=kernel2, _col=col2):
+                return _kernel(t.drop_columns([_col]) if _col in t.column_names else t)
+
+            one = red_t.remote(_k2, None, 1, one)
+        return ray.data.from_arrow_refs([one])
+    groups = [refs[i : i + refs_per_task] for i in range(0, len(refs), refs_per_task)]
+    shards = [split_t.options(num_returns=P).remote(col, P, *g) for g in groups]
+    if col2 is None:
+        outs = [
+            red_t.remote(kernel, None, P, *[s[p] for s in shards]) for p in range(P)
+        ]
+    else:
+        mids = [
+            red_t.options(num_returns=P).remote(kernel, col2, P, *[s[p] for s in shards])
+            for p in range(P)
+        ]
+        outs = [
+            red_t.remote(kernel2, None, P, *[m[q] for m in mids]) for q in range(P)
+        ]
+    return ray.data.from_arrow_refs(outs)
+
+
 def scrub_empty_blocks(ds, batch_size: int = 65536):
     """Work around a Ray Data 2.49 artifact: groupby-aggregate outputs fed by
     unions/joins can contain zero-column EMPTY blocks (``schema=[]``), and a
@@ -71,17 +201,17 @@ def partitioned_aggregate(ds, keys, aggs, num_partitions: int, part_from=None):
         )
 
     def _agg_part(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__part"])
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
         out = t.group_by(key_list).aggregate([(c, f) for c, f, _ in agg_list])
         # pyarrow names outputs "<col>_<fn>"; rename to the requested names
         rename = {f"{c}_{f}": name for c, f, name in agg_list}
         cols = [rename.get(c, c) for c in out.column_names]
         return out.rename_columns(cols)
 
-    return (
-        ds.map_batches(_add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(_agg_part, batch_format="pyarrow")
+    return hash_exchange(
+        ds.map_batches(_add_part, batch_format="pyarrow"),
+        "__part", num_partitions, _agg_part,
     )
 
 
@@ -118,12 +248,9 @@ def bucketed_map_groups(ds, key_cols, kernel, num_partitions: int, part_from=Non
             "__part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
         )
 
-    return (
-        ds.map_batches(_add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(
-            lambda t: kernel(t.drop_columns(["__part"])), batch_format="pyarrow"
-        )
+    return hash_exchange(
+        ds.map_batches(_add_part, batch_format="pyarrow"),
+        "__part", num_partitions, kernel,
     )
 
 

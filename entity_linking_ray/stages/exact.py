@@ -94,14 +94,11 @@ def exact_collapse(features, cfg: LinkageConfig):
         ))
 
     if n_rows <= cfg.broadcast_feature_rows:
-        # raw tasks over the (already materialized / checkpointed) feature
-        # blocks ship the 40-byte projections straight to the driver — no
-        # extra Dataset execution
-        pack_task = ray.remote(num_cpus=1)(_pack_block)
-        tabs = [
-            t for t in ray.get([pack_task.remote(r) for r in features.to_arrow_refs()])
-            if t.num_rows
-        ]
+        # node-local Dataset projection: only the 40-byte packed rows reach
+        # the driver (see common.collect_projected for why not raw tasks)
+        from .common import collect_projected
+
+        tabs = collect_projected(features, _pack_block)
         if not tabs:
             empty_edges = ray.data.from_arrow(_edges_from_tagged(pa.table({
                 "node": pa.array([], type=pa.int64()),

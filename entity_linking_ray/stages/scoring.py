@@ -185,14 +185,15 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
 
     _trace = os.environ.get("ELR_TIMING") == "1"
     t0 = time.time()
-    # raw Ray tasks over the (already materialized / checkpointed) feature
-    # blocks: each task flattens its block into contiguous blobs and ships
-    # the small packed table straight to the driver — no extra full-dataset
-    # execution and no second features-sized copy in the object store
-    pack_task = ray.remote(num_cpus=1)(_pack_features)
+    # node-local Dataset projection: each map task flattens its block into
+    # contiguous blobs and only the packed rows reach the driver — no second
+    # features-sized copy in the object store (see common.collect_projected
+    # for why this is NOT a raw ray.remote fan-out)
+    from .common import collect_projected
+
     rows = [
-        t for t in ray.get([pack_task.remote(r) for r in features.to_arrow_refs()])
-        if t.num_rows > 0 and len(t.column("nodes")[0].as_py()) > 0
+        t for t in collect_projected(features, _pack_features)
+        if len(t.column("nodes")[0].as_py()) > 0
     ]
     if _trace:
         sys.stderr.write(f"[score] pack_collect {time.time()-t0:.2f}s\n")
