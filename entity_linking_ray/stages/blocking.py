@@ -41,7 +41,7 @@ from ray.data.aggregate import Count, Min
 
 from ..config import LinkageConfig
 from ..functions.hashing import band_keys, splitmix64
-from .common import partitioned_aggregate, safe_join, scrub_empty_blocks
+from .common import hash_exchange, partitioned_aggregate, safe_join, scrub_empty_blocks
 
 _HOT_COLLECT_LIMIT = 1_000_000
 
@@ -284,29 +284,23 @@ def lsh_candidate_pairs(reps, cfg: LinkageConfig):
         # (set-hash, band key, packed members) and deduping IDENTICAL member
         # sets before pair expansion shrinks the widest exchange ~an order
         # of magnitude; only pairs from *distinct-but-overlapping* sets
-        # reach the final (src, dst) dedup.
-        descs = band_rows.groupby("__part").map_groups(
-            lambda t: part_block_descs(t.drop_columns(["__part"]), cfg, P),
-            batch_format="pyarrow",
+        # reach the final (src, dst) dedup. The first hash_exchange fuses
+        # desc build + expansion into one task round-trip.
+        pairs = hash_exchange(
+            band_rows, "__part", P,
+            lambda t: part_block_descs(t, cfg, P),
+            col2="__p2",
+            kernel2=lambda t: expand_block_descs(t, cfg, P),
         )
-        pairs = descs.groupby("__p2").map_groups(
-            lambda t: expand_block_descs(t.drop_columns(["__p2"]), cfg, P),
-            batch_format="pyarrow",
-        )
+        deduped = hash_exchange(pairs, "__p3", P, _dedup_min_band)
     else:
-        pairs = band_rows.groupby("__part").map_groups(
-            lambda t: part_pairs(t.drop_columns(["__part"]), cfg, P),
-            batch_format="pyarrow",
+        # one fused exchange: band rows -> per-partition pair gen -> re-split
+        # by (src, dst) bucket -> cross-partition min-band dedup
+        deduped = hash_exchange(
+            band_rows, "__part", P,
+            lambda t: part_pairs(t, cfg, P),
+            col2="__p2", kernel2=_dedup_min_band,
         )
-    deduped = (
-        pairs.groupby("__p2" if cfg.pair_plan != "blocks" else "__p3")
-        .map_groups(
-            lambda t: _dedup_min_band(
-                t.drop_columns(["__p2" if cfg.pair_plan != "blocks" else "__p3"])
-            ),
-            batch_format="pyarrow",
-        )
-    )
     return scrub_empty_blocks(deduped)
 
 
@@ -630,17 +624,10 @@ def bucketed_pairs(rows, key_col: str, id_col: str, cap: int, num_partitions: in
             "__p2": pa.array((h % np.uint64(P)).astype(np.int64)),
         })
 
-    pairs = (
-        rows.map_batches(_add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(
-            lambda t: _bucket_pairs(t.drop_columns(["__part"])), batch_format="pyarrow"
-        )
-    )
     deduped = scrub_empty_blocks(
-        pairs.groupby("__p2").map_groups(
-            lambda t: _dedup_min_band(t.drop_columns(["__p2"])),
-            batch_format="pyarrow",
+        hash_exchange(
+            rows.map_batches(_add_part, batch_format="pyarrow"),
+            "__part", P, _bucket_pairs, col2="__p2", kernel2=_dedup_min_band,
         )
     )
     return deduped.map_batches(

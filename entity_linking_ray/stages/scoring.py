@@ -165,6 +165,11 @@ def _pack_features(t: pa.Table) -> pa.Table:
     })
 
 
+# per-worker-process record of broadcast arrays already page-swept (ray.get
+# caches the deserialized object per worker, so id() is stable across tasks)
+_PREFAULTED: set[int] = set()
+
+
 def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
     """Zero-shuffle scoring: the compact feature arrays are ray.put ONCE and
     every scoring task looks pairs up by sorted node id. Used whenever the
@@ -236,7 +241,16 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
         sys.stderr.write(f"[score] ray_put {time.time()-t0:.2f}s\n")
 
     def _score(batch: pa.Table) -> pa.Table:
+        _bt0 = time.time()
         fnodes, fperm, fsig, femb = ray.get(ref)
+        if id(fsig) not in _PREFAULTED:
+            # touch one byte per page SEQUENTIALLY before the random pair
+            # gathers: a cold plasma mapping faulted in random order stalls
+            # for seconds under this host's THP compaction, while a
+            # sequential sweep rides readahead (~0.05 s hot, ~0.3 s cold)
+            fsig.reshape(-1)[::1024].sum()
+            femb.reshape(-1)[::1024].sum()
+            _PREFAULTED.add(id(fsig))
         n = batch.num_rows
         if n == 0:
             return pa.table({
@@ -268,6 +282,11 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
                 b = np.ascontiguousarray(fblob[sb: sb + lb]).view(np.uint32)
                 lev[i] = token_levenshtein_ratio(a, b)
             matched = matched | (borderline & (lev >= cfg.tau_lev))
+        if _trace:
+            sys.stderr.write(
+                f"[score] batch n={n} border={int(borderline.sum())} "
+                f"{time.time()-_bt0:.2f}s\n"
+            )
         score = np.maximum(np.maximum(jac, dot), lev)
         kind = np.where(lev >= cfg.tau_lev, "lev", np.where(jac >= dot, "jaccard", "dot"))
         keep = matched | (score >= cfg.tau_emit)
