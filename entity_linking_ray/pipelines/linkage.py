@@ -129,14 +129,21 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
         # the whole blocking section lives INSIDE the closure so a resumed
         # run with a complete 'edges' checkpoint never re-executes pair
         # generation (historically ~70% of wall time)
+        from ..stages.scoring import prepare_score_pack
+
         _tagged, reps, exact_edges = exact_collapse(feats, cfg)
+        # launch the scoring broadcast-pack build NOW: it depends only on
+        # feats, so its pack/sort tasks overlap the whole blocking section
+        # instead of stalling the driver between pairs and scoring
+        pack = (prepare_score_pack(feats, cfg)
+                if n_rows <= cfg.broadcast_feature_rows else None)
         # pairs are compact (24 B/row); pinning lets us cheaply detect the
         # no-candidates case — a zero-block dataset entering a hash join
         # loses its schema and crashes acero with 0-column partitions
         pairs = lsh_candidate_pairs(reps, cfg).materialize()
         if pairs.count() == 0:
             return filter_edges(exact_edges, cfg)
-        lsh_edges = score_edges(pairs, feats, cfg)
+        lsh_edges = score_edges(pairs, feats, cfg, pack=pack)
         return filter_edges(exact_edges.union(lsh_edges), cfg)
 
     edges = ckpt.run("edges", ["features"], _edges)

@@ -948,6 +948,201 @@ def q_minhash_near_dup(sf_dir: str, broadcast_limit: int | None = None):
     return jb.map_batches(verify_j, batch_format="pyarrow")
 
 
+def q_ngram_jaccard(sf_dir: str, tau: float = 0.3, w: int = 3,
+                    num_partitions: int = NPART):
+    """Exact n-gram (word w-gram) Jaccard near-dup pairs over documents.text —
+    the EXACT member of the dedup family (exact sha / MinHash-LSH approximate /
+    simhash sketch / embedding cosine). Emits every (doc_a, doc_b, jaccard)
+    with jaccard of the distinct-shingle sets >= tau. SQL-oracled: shingles
+    are hashed to 63 bits (blake2b token hashes + 64-bit polynomial), so hash
+    equality == string equality at any realistic corpus size.
+
+    Distributed plan — one fused hash exchange, no all-pairs:
+      explode distinct shingle hashes per doc
+      -> exchange on shingle bucket: pairs within each shingle's posting
+         list, partial-counted per bucket (vectorized segment math)
+      -> second wave on pair bucket: sum intersection counts
+      -> jaccard against the broadcast per-doc set-size array.
+
+    Scale contract: exact Jaccard is inherently quadratic in a shingle's
+    document frequency (the SQL oracle pays the same join); 100 TB near-dedup
+    caps posting lists via q_minhash_near_dup and uses this operator as the
+    exact verifier on candidate subsets."""
+    import hashlib
+
+    import re
+
+    from ..functions.hashing import splitmix64
+    from ..stages.common import hash_exchange
+
+    P = num_partitions
+    word_re = re.compile(r"[A-Za-z0-9_]+")
+    mask63 = np.uint64((1 << 63) - 1)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out, sh_out = [], []
+        memo: dict[str, int] = {}
+        for did, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = word_re.findall(s)
+            n = len(toks)
+            if n < w:
+                continue
+            hs = np.empty(n, dtype=np.uint64)
+            for i, tk in enumerate(toks):
+                h = memo.get(tk)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.blake2b(tk.encode(), digest_size=8).digest(), "little"
+                    )
+                    memo[tk] = h
+                hs[i] = h
+            acc = np.zeros(n - w + 1, dtype=np.uint64)
+            for k in range(w):
+                acc = acc * mult + hs[k: n - w + 1 + k]
+            u = np.unique(acc & mask63)
+            sh_out.append(u)
+            ids_out.append(np.full(u.shape[0], did, dtype=np.int64))
+        if not sh_out:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "shingle": pa.array([], type=pa.int64()),
+                "__part": pa.array([], type=pa.int64()),
+            })
+        sh = np.concatenate(sh_out)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids_out)),
+            "shingle": pa.array(sh.astype(np.int64)),
+            "__part": pa.array((splitmix64(sh) % np.uint64(P)).astype(np.int64)),
+        })
+
+    exploded = docs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers: set sizes + the pair exchange
+
+    _empty_pairs = pa.table({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "c": pa.array([], type=pa.int64()),
+        "__p2": pa.array([], type=pa.int64()),
+    })
+
+    def _pairs_kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty_pairs
+        sh = t.column("shingle").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = sh[1:] != sh[:-1]
+        seg_start = np.flatnonzero(first)
+        seg_len = np.diff(np.append(seg_start, n))
+        seg_id = np.cumsum(first) - 1
+        # element i of its segment pairs with every later element: as the
+        # left side it appears (seg_len - pos - 1) times
+        pos = np.arange(n) - seg_start[seg_id]
+        reps = seg_len[seg_id] - pos - 1
+        tot = int(reps.sum())
+        if tot == 0:
+            return _empty_pairs
+        a_idx = np.repeat(np.arange(n), reps)
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(reps, out=cum[1:])
+        b_idx = a_idx + 1 + (np.arange(tot) - cum[a_idx])
+        a, b = ids[a_idx], ids[b_idx]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # partial count per (lo, hi) within this bucket
+        o2 = np.lexsort((hi, lo))
+        lo, hi = lo[o2], hi[o2]
+        f2 = np.empty(tot, dtype=bool)
+        f2[0] = True
+        f2[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        starts2 = np.flatnonzero(f2)
+        cnt = np.diff(np.append(starts2, tot))
+        lo_u, hi_u = lo[starts2], hi[starts2]
+        p2 = (
+            splitmix64(lo_u.astype(np.uint64) ^ splitmix64(hi_u.astype(np.uint64)))
+            % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table({
+            "doc_a": pa.array(lo_u), "doc_b": pa.array(hi_u),
+            "c": pa.array(cnt), "__p2": pa.array(p2),
+        })
+
+    def _sum_kernel(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        if m == 0:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "isz": pa.array([], type=pa.int64()),
+            })
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, c = a[order], b[order], c[order]
+        f = np.empty(m, dtype=bool)
+        f[0] = True
+        f[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(f)
+        return pa.table({
+            "doc_a": pa.array(a[starts]),
+            "doc_b": pa.array(b[starts]),
+            "isz": pa.array(np.add.reduceat(c, starts)),
+        })
+
+    inter = hash_exchange(
+        exploded, "__part", P, _pairs_kernel, col2="__p2", kernel2=_sum_kernel
+    )
+
+    # per-doc distinct-shingle counts: one row per doc — broadcast as two
+    # sorted numpy arrays (zero-copy plasma mmap per task, never a dict)
+    from ..stages.common import collect_projected
+
+    cnt_tabs = collect_projected(
+        exploded,
+        lambda t: (
+            t.group_by(["doc_id"]).aggregate([("shingle", "count")])
+            .rename_columns(["doc_id", "n"])
+        ),
+    )
+    if not cnt_tabs:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }))
+    ct = pa.concat_tables(cnt_tabs).group_by(["doc_id"]).aggregate([("n", "sum")])
+    cids = ct.column("doc_id").to_numpy()
+    cns = ct.column("n_sum").to_numpy()
+    o = np.argsort(cids)
+    cref = ray.put((cids[o], cns[o]))
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        ids_s, ns_s = ray.get(cref)
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        isz = t.column("isz").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = ns_s[np.searchsorted(ids_s, a)].astype(np.float64)
+        nb = ns_s[np.searchsorted(ids_s, b)].astype(np.float64)
+        jac = isz / (na + nb - isz)
+        keep = jac >= tau  # filter on the exact float, round only for output
+        jr = np.array([_round_half_up(x, 4) for x in jac[keep]])
+        return pa.table({
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "jaccard": pa.array(jr, type=pa.float64()),
+        })
+
+    return scrub_empty_blocks(inter).map_batches(_finalize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: brute-force ANN, near-dup, retrieval rate (A1 analog)
 # ---------------------------------------------------------------------------
@@ -1353,6 +1548,31 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE 0.0 END AS word_char_ratio
         FROM documents
     """,
+    "ngram_jaccard": """
+        WITH tk AS (
+            SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+                FROM tk WHERE len(t) >= 3
+            )
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        ix AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(isz * 1.0 / (ca.n + cb.n - isz), 4) AS jaccard
+        FROM ix JOIN cnt ca ON ca.doc_id = ix.doc_a
+                JOIN cnt cb ON cb.doc_id = ix.doc_b
+        WHERE isz * 1.0 / (ca.n + cb.n - isz) >= 0.3
+    """,
     "embedding_topk": """
         SELECT query_id, neighbor_id, rank, cos FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -1500,6 +1720,7 @@ QUERIES = {
     "simhash": q_simhash,
     "doc_fingerprints": q_doc_fingerprints,
     "minhash_near_dup": q_minhash_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "retrieval_rate": q_retrieval_rate,

@@ -74,6 +74,53 @@ def _pack_sha_batch(t: pa.Table) -> pa.Table:
     })
 
 
+def _pack_group(*tabs) -> pa.Table:
+    """Remote pack task: (sha words, node) projection for a group of blocks."""
+    packed = [
+        _pack_sha_batch(t.select(
+            [c for c in ("sha_k0", "sha_k1", "sha_k2", "sha_k3", "sha256", "node")
+             if c in t.column_names]
+        ))
+        for t in tabs if t.num_rows
+    ]
+    if not packed:
+        packed = [pa.table({
+            "k0": pa.array([], type=pa.int64()), "k1": pa.array([], type=pa.int64()),
+            "k2": pa.array([], type=pa.int64()), "k3": pa.array([], type=pa.int64()),
+            "node": pa.array([], type=pa.int64()),
+        })]
+    return pa.concat_tables(packed)
+
+
+def _exact_reduce(*tabs):
+    """Remote reduce: packed (k0..k3, node) shards -> (exact-edge table,
+    sorted rep-node array). One lexsort + segment pass; returned via
+    ``num_returns=2`` so the edge table becomes a Dataset block and the rep
+    set a broadcast array, with no driver copy of either."""
+    ks = [
+        np.concatenate([t.column(c).to_numpy() for t in tabs])
+        for c in ("k0", "k1", "k2", "k3")
+    ]
+    node = np.concatenate([t.column("node").to_numpy() for t in tabs])
+    order = np.lexsort((node, ks[3], ks[2], ks[1], ks[0]))
+    node_s = node[order]
+    first = np.empty(node_s.shape[0], dtype=bool)
+    first[0] = True
+    first[1:] = False
+    for k in ks:
+        k_s = k[order]
+        first[1:] |= k_s[1:] != k_s[:-1]
+    runs = np.cumsum(first) - 1
+    rep = node_s[np.flatnonzero(first)][runs]  # per-row min node of its sha
+
+    dup = node_s != rep
+    edges = _edges_from_tagged(pa.table({
+        "rep_node": pa.array(rep[dup]),
+        "node": pa.array(node_s[dup]),
+    }))
+    return edges, np.sort(rep[~dup])  # reps == unique, sorted
+
+
 def exact_collapse(features, cfg: LinkageConfig):
     """features -> (tagged, reps, exact_edges).
 
@@ -93,42 +140,26 @@ def exact_collapse(features, cfg: LinkageConfig):
              if c in t.column_names]
         ))
 
-    if n_rows <= cfg.broadcast_feature_rows:
-        # node-local Dataset projection: only the 40-byte packed rows reach
-        # the driver (see common.collect_projected for why not raw tasks)
-        from .common import collect_projected
-
-        tabs = collect_projected(features, _pack_block)
-        if not tabs:
-            empty_edges = ray.data.from_arrow(_edges_from_tagged(pa.table({
-                "node": pa.array([], type=pa.int64()),
-                "rep_node": pa.array([], type=pa.int64()),
-            })))
-            return None, features, empty_edges
-        ks = [
-            np.concatenate([t.column(c).to_numpy() for t in tabs])
-            for c in ("k0", "k1", "k2", "k3")
-        ]
-        node = np.concatenate([t.column("node").to_numpy() for t in tabs])
-        order = np.lexsort((node, ks[3], ks[2], ks[1], ks[0]))
-        node_s = node[order]
-        first = np.empty(node_s.shape[0], dtype=bool)
-        first[0] = True
-        first[1:] = False
-        for k in ks:
-            k_s = k[order]
-            first[1:] |= k_s[1:] != k_s[:-1]
-        runs = np.cumsum(first) - 1
-        rep = node_s[np.flatnonzero(first)][runs]  # per-row min node of its sha
-
-        dup = node_s != rep
-        exact_edges = ray.data.from_arrow(_edges_from_tagged(pa.table({
-            "rep_node": pa.array(rep[dup]),
-            "node": pa.array(node_s[dup]),
+    if n_rows == 0:
+        empty_edges = ray.data.from_arrow(_edges_from_tagged(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "rep_node": pa.array([], type=pa.int64()),
         })))
+        return None, features, empty_edges
 
-        rep_nodes = np.sort(rep[~dup])  # == unique reps, sorted
-        nref = ray.put(rep_nodes)
+    if n_rows <= cfg.broadcast_feature_rows:
+        # fully remote broadcast plan: per-block-group pack tasks feed ONE
+        # reduce that computes the per-sha min-node mapping, the dup-edge
+        # table and the sorted rep-node set — the driver only holds the
+        # ObjectRefs and never blocks. (The previous driver-side
+        # collect+lexsort held a flat ~2.3 s constant in num_cpus.)
+        refs = features.to_arrow_refs()
+        pack_t = ray.remote(num_cpus=1)(_pack_group)
+        groups = [refs[i: i + 8] for i in range(0, len(refs), 8)]
+        packed = [pack_t.remote(*g) for g in groups]
+        red_t = ray.remote(num_cpus=1, num_returns=2)(_exact_reduce)
+        edges_ref, nref = red_t.remote(*packed)
+        exact_edges = ray.data.from_arrow_refs([edges_ref])
 
         def _is_rep(t: pa.Table) -> pa.Table:
             rn = ray.get(nref)

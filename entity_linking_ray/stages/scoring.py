@@ -170,43 +170,28 @@ def _pack_features(t: pa.Table) -> pa.Table:
 _PREFAULTED: set[int] = set()
 
 
-def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
-    """Zero-shuffle scoring: the compact feature arrays are ray.put ONCE and
-    every scoring task looks pairs up by sorted node id. Used whenever the
-    feature table fits (cfg.broadcast_feature_rows); this is the single-node
-    fast path — per-pair shuffle joins are memory-bandwidth bound and do not
-    scale with cores."""
-    import ray
+def _pack_group(*tabs) -> pa.Table:
+    """Remote pack task: flatten a group of feature blocks into packed rows
+    (one row per block) via zero-copy Arrow buffer access."""
+    packed = [_pack_features(t) for t in tabs if t.num_rows]
+    if not packed:
+        packed = [_pack_features(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "sig": pa.array([], type=pa.large_binary()),
+            "emb": pa.array([], type=pa.large_binary()),
+            "tokseq": pa.array([], type=pa.large_binary()),
+        }))]
+    return pa.concat_tables(packed)
 
-    # pack the lookup arrays IN PARALLEL — each map task flattens its blocks'
-    # binary columns into contiguous blobs via zero-copy Arrow buffer access
-    # (the old driver-side ``to_pylist`` + ``b"".join`` pass was serial and
-    # flat in num_cpus); the driver then only concatenates numpy arrays
-    # (memcpy) and sorts the node index. ray.put of the numpy tuple =
-    # zero-copy plasma mmap per downstream task (unlike pickled dicts).
-    import os
-    import sys
-    import time
 
-    _trace = os.environ.get("ELR_TIMING") == "1"
-    t0 = time.time()
-    # node-local Dataset projection: each map task flattens its block into
-    # contiguous blobs and only the packed rows reach the driver — no second
-    # features-sized copy in the object store (see common.collect_projected
-    # for why this is NOT a raw ray.remote fan-out)
-    from .common import collect_projected
+def _build_pack(num_perm: int, embed_dim: int, *rows):
+    """Remote reduce: packed rows -> the two broadcast lookup tuples.
 
-    rows = [
-        t for t in collect_projected(features, _pack_features)
-        if len(t.column("nodes")[0].as_py()) > 0
-    ]
-    if _trace:
-        sys.stderr.write(f"[score] pack_collect {time.time()-t0:.2f}s\n")
-        t0 = time.time()
-    # flatten each packed column into ONE numpy array via a single Arrow
-    # combine_chunks (one C-level copy) — python-bytes round-trips plus
-    # many-small-array np.concatenate measured ~20x slower on this host
-    allt = pa.concat_tables(rows)  # zero-copy
+    Returned (via ``num_returns=2``) as two separate plasma objects: every
+    scoring task maps the (sig, emb) lookup, but the token blob — needed only
+    for the borderline Levenshtein fallback — is mapped lazily, so most tasks
+    never touch its pages."""
+    allt = pa.concat_tables(rows)  # zero-copy; empty packed rows add 0 bytes
 
     def _col_np(name: str, dtype) -> np.ndarray:
         a = allt.column(name).combine_chunks()
@@ -215,30 +200,58 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
         return data[off[0]: off[-1]].view(dtype)
 
     nodes = _col_np("nodes", np.int64)
-    sig = _col_np("sig", np.uint32).reshape(-1, cfg.num_perm)
-    emb = _col_np("emb", np.float32).reshape(-1, cfg.embed_dim)
+    sig = _col_np("sig", np.uint32).reshape(-1, num_perm)
+    emb = _col_np("emb", np.float32).reshape(-1, embed_dim)
     blob = _col_np("tok_blob", np.uint8)
     lens = _col_np("tok_lens", np.int64)
-    if _trace:
-        sys.stderr.write(f"[score] concat {time.time()-t0:.2f}s\n")
-        t0 = time.time()
-    # sig/emb/blob stay in ARRIVAL order — the 100s-of-MB gather into sorted
-    # order was the serial driver hotspot; instead ship the sorted node index
+    # sig/emb/blob stay in ARRIVAL order — a 100s-of-MB gather into sorted
+    # order costs a serial memcpy storm; instead ship the sorted node index
     # plus its permutation and let each (parallel) scoring task double-index
     order = np.argsort(nodes, kind="stable")
     starts = np.zeros(lens.shape[0], dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    nodes_sorted = nodes[order]
-    if _trace:
-        sys.stderr.write(f"[score] assemble {time.time()-t0:.2f}s\n")
-        t0 = time.time()
-    # two separate broadcast objects: every scoring task maps the (sig, emb)
-    # lookup, but the token blob — needed only for the borderline Levenshtein
-    # fallback — is mapped lazily, so most tasks never touch its pages
-    ref = ray.put((nodes_sorted, order, sig, emb))
-    tok_ref = ray.put((blob, starts, lens))
-    if _trace:
-        sys.stderr.write(f"[score] ray_put {time.time()-t0:.2f}s\n")
+    return (nodes[order], order, sig, emb), (blob, starts, lens)
+
+
+def prepare_score_pack(features, cfg: LinkageConfig):
+    """Launch the broadcast score-pack build as chained remote tasks; returns
+    (ref, tok_ref) ObjectRefs WITHOUT blocking the driver.
+
+    The build (per-block-group flatten -> one reduce that sorts the node
+    index) runs in workers concurrently with whatever the pipeline does next —
+    link_dataset calls this right before the LSH blocking section, so the pack
+    lands while blocking computes. The old inline build held the driver for a
+    flat ~2-3 s (collect + concat + ray.put of ~300 MB on the 375k-file
+    corpus), constant in num_cpus — one of the three flat terms that pinned
+    scaling efficiency.
+
+    ``features`` should be materialized/checkpointed (it is, in link_dataset);
+    on a lazy dataset ``to_arrow_refs`` would execute it here."""
+    import ray
+
+    refs = features.to_arrow_refs()
+    pack_t = ray.remote(num_cpus=1)(_pack_group)
+    groups = [refs[i: i + 8] for i in range(0, len(refs), 8)]
+    packed = ([pack_t.remote(*g) for g in groups]
+              if groups else [pack_t.remote()])
+    build_t = ray.remote(num_cpus=1, num_returns=2)(_build_pack)
+    return build_t.remote(cfg.num_perm, cfg.embed_dim, *packed)
+
+
+def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
+    """Zero-shuffle scoring: the compact feature arrays land in plasma ONCE
+    and every scoring task looks pairs up by sorted node id. Used whenever the
+    feature table fits (cfg.broadcast_feature_rows); this is the single-node
+    fast path — per-pair shuffle joins are memory-bandwidth bound and do not
+    scale with cores."""
+    import ray
+
+    ref, tok_ref = pack if pack is not None else prepare_score_pack(features, cfg)
+    import os
+    import sys
+    import time
+
+    _trace = os.environ.get("ELR_TIMING") == "1"
 
     def _score(batch: pa.Table) -> pa.Table:
         _bt0 = time.time()
@@ -302,13 +315,14 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig):
     return pairs.map_batches(_score, batch_format="pyarrow", batch_size=65536)
 
 
-def score_edges(pairs, features, cfg: LinkageConfig):
+def score_edges(pairs, features, cfg: LinkageConfig, pack=None):
     """Candidate pairs + feature table -> scored edge list (src, dst, score,
     kind, matched, block_key). Plan selection: broadcast lookup when the
     feature table fits (see _score_edges_broadcast), else the two-phase
-    join plan below."""
-    if features.count() <= cfg.broadcast_feature_rows:
-        return _score_edges_broadcast(pairs, features, cfg)
+    join plan below. ``pack``: pre-launched prepare_score_pack refs (implies
+    the broadcast plan — the caller already sized the gate)."""
+    if pack is not None or features.count() <= cfg.broadcast_feature_rows:
+        return _score_edges_broadcast(pairs, features, cfg, pack=pack)
     scored = join_pair_features(pairs, features, cfg).map_batches(
         lambda t: _bulk_score(t, cfg), batch_format="pyarrow"
     ).materialize()

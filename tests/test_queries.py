@@ -25,6 +25,7 @@ SUBSET = [
     "retrieval_rate",
     "tokenize_pad",
     "transform_mentions",
+    "ngram_jaccard",
 ]
 
 
