@@ -9,8 +9,9 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 - ``queries()``   — one callable per implemented operator/pipeline from
                     SURVEY.md §2 plus the training-data-pipeline additions.
 - ``oracle_sql()``— DuckDB-equivalent SQL for every SQL-expressible query;
-                    non-SQL ops (MinHash LSH, simhash, langid, the full
-                    linkage pipeline) are omitted -> rows-only check.
+                    genuinely non-SQL ops (MinHash-LSH candidates, IVF ANN,
+                    multimodal decode, the full linkage pipeline) are
+                    omitted -> rows-only check.
 """
 
 from __future__ import annotations

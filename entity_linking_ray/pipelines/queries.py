@@ -11,8 +11,9 @@ Coverage map to SURVEY.md §2 (reference file:line cited per query):
   join, M4/D1 exact dedup, M5/A3 semi join, D2 union, M7/O2 limit, M8
   normalizers, A1/A2 aggregates, O1 top-k, J3 dense scoring (ANN brute force),
   plus the training-data-pipeline additions (token stats, quality, langid,
-  minhash near-dup, simhash, fingerprints, windowed aggregates, as-of join,
-  distributed connected components).
+  minhash near-dup, exact n-gram Jaccard, simhash, winnowing fingerprints,
+  windowed aggregates, as-of join, distributed connected components) — all
+  SQL-oracled except the genuinely non-SQL MinHash/IVF/multimodal/linkage.
 
 All pipelines stream: the only driver-side materializations are small
 broadcast sides (dimension tables / query matrices) shipped once via
@@ -756,7 +757,7 @@ def q_langid(sf_dir: str):
 
 def q_langid_accuracy(sf_dir: str):
     """Aggregate accuracy of the langid heuristic vs the labeled lang column
-    (rows-only check; the heuristic itself is not SQL)."""
+    (SQL-oracled: the stopword-hit argmax cascade is reproduced in DuckDB)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     class Acc(LangId):
@@ -772,48 +773,89 @@ def q_langid_accuracy(sf_dir: str):
     n = flags.sum("n")
     h = flags.sum("hits")
     return pa.table({"n_docs": pa.array([n], type=pa.int64()),
-                     "accuracy": pa.array([round(h / max(1, n), 4)], type=pa.float64())})
+                     "accuracy": pa.array([_round_half_up(h / max(1, n), 4)], type=pa.float64())})
 
 
 def q_simhash(sf_dir: str):
-    """SimHash fingerprints (near-dup sketch #2; 63-bit to stay int64-safe)."""
-    from ..functions.similarity import simhash64
-    from ..functions.text import token_hashes
+    """SimHash fingerprints (near-dup sketch #2; 63-bit to stay int64-safe).
 
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    Token hash = first 8 bytes of md5 (big-endian) so the sketch is exactly
+    reproducible in SQL (hash-green oracle); occurrence-weighted majority vote
+    per bit, ties to 0, tokenless docs sketch to 0. The per-batch md5 memo
+    plus one (tokens x 63) matrix per doc keeps the kernel vectorized."""
+    import hashlib
+
+    import re
+
+    word = re.compile(r"[a-z0-9_]+")
+    shifts = np.arange(63, dtype=np.uint64)
 
     def sh(t: pa.Table) -> pa.Table:
-        vals = [simhash64(token_hashes(s)) & ((1 << 63) - 1) for s in t.column("text").to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(vals, type=pa.int64())})
+        memo: dict[str, int] = {}
+        vals = np.zeros(t.num_rows, dtype=np.uint64)
+        for r, s in enumerate(t.column("text").to_pylist()):
+            toks = word.findall(s.lower())
+            if not toks:
+                continue
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for i, tk in enumerate(toks):
+                v = memo.get(tk)
+                if v is None:
+                    v = int.from_bytes(hashlib.md5(tk.encode()).digest()[:8], "big")
+                    memo[tk] = v
+                hs[i] = v
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (bits * 2 - 1).sum(axis=0)
+            vals[r] = ((votes > 0).astype(np.uint64) << shifts).sum()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "simhash": pa.array(vals.astype(np.int64)),
+        })
 
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_doc_fingerprints(sf_dir: str):
-    """Winnowing-style fingerprints: count of selected rolling-hash minima per
-    doc (document fingerprinting op; window=8, shingle=4)."""
-    from ..functions.hashing import rolling_shingle_hashes
-    from ..functions.text import token_hashes
+    """Winnowing fingerprints: count of selected rolling-minimum positions per
+    doc (document fingerprinting op; shingle=4 words, window=8, leftmost-min
+    selection per window — the standard winnowing guarantee).
 
-    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    Shingle hash = first 8 bytes of md5 (big-endian) of the space-joined
+    4-gram, so the selection is exactly reproducible in SQL (hash-green
+    oracle). Docs with <4 word tokens have no shingles (0); 1-8 shingles
+    yield a single fingerprint."""
+    import hashlib
+
+    import re
+
+    word = re.compile(r"[a-z0-9_]+")
 
     def fp(t: pa.Table) -> pa.Table:
-        counts = []
-        for s in t.column("text").to_pylist():
-            sh = rolling_shingle_hashes(token_hashes(s), 4)
-            if sh.shape[0] == 0:
-                counts.append(0)
+        memo: dict[str, int] = {}
+        counts = np.zeros(t.num_rows, dtype=np.int64)
+        for r, s in enumerate(t.column("text").to_pylist()):
+            toks = word.findall(s.lower())
+            n = len(toks)
+            if n < 4:
                 continue
-            w = 8
-            if sh.shape[0] <= w:
-                counts.append(1)
+            sh = np.empty(n - 3, dtype=np.uint64)
+            for i in range(n - 3):
+                g = " ".join(toks[i: i + 4])
+                v = memo.get(g)
+                if v is None:
+                    v = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+                    memo[g] = v
+                sh[i] = v
+            if sh.shape[0] <= 8:
+                counts[r] = 1
                 continue
-            view = np.lib.stride_tricks.sliding_window_view(sh, w)
-            mins = view.min(axis=1)
+            view = np.lib.stride_tricks.sliding_window_view(sh, 8)
             pos = view.argmin(axis=1) + np.arange(view.shape[0])
-            counts.append(int(np.unique(pos).shape[0]))
-        return pa.table({"doc_id": t["doc_id"], "n_fingerprints": pa.array(counts, type=pa.int64())})
+            counts[r] = np.unique(pos).shape[0]
+        return pa.table({"doc_id": t["doc_id"], "n_fingerprints": pa.array(counts)})
 
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -1547,6 +1589,115 @@ ORACLE_SQL: dict[str, str] = {
                                * 1.0 / length(text), 4)
                     ELSE 0.0 END AS word_char_ratio
         FROM documents
+    """,
+    "langid": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-zäöüéèêàûîç]+') AS toks,
+                   len(regexp_extract_all(lower(text), '[一-鿿]')) AS cjk
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, cjk,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','für','auf','ein'))) AS de,
+                   len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+                   len(list_filter(toks, x -> x IN ('el','la','los','las','y','es','de','un','una','en'))) AS es,
+                   len(list_filter(toks, x -> x IN ('le','la','les','et','est','de','des','un','une','dans'))) AS fr
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN cjk >= 5 THEN 'zh'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN en >= es AND en >= fr THEN 'en'
+                    WHEN es >= fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM h
+    """,
+    "langid_accuracy": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '[a-zäöüéèêàûîç]+') AS toks,
+                   len(regexp_extract_all(lower(text), '[一-鿿]')) AS cjk
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, lang, cjk,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','für','auf','ein'))) AS de,
+                   len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','with'))) AS en,
+                   len(list_filter(toks, x -> x IN ('el','la','los','las','y','es','de','un','una','en'))) AS es,
+                   len(list_filter(toks, x -> x IN ('le','la','les','et','est','de','des','un','une','dans'))) AS fr
+            FROM t
+        ),
+        p AS (
+            SELECT lang,
+                   CASE WHEN cjk >= 5 THEN 'zh'
+                        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                        WHEN en >= es AND en >= fr THEN 'en'
+                        WHEN es >= fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM h
+        )
+        SELECT count(*) AS n_docs,
+               round(avg(CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+        FROM p
+    """,
+    "doc_fingerprints": """
+        WITH tk AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, pos, CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT) AS hv FROM (
+                SELECT doc_id,
+                       unnest(range(1, len(t) - 2)) AS pos,
+                       unnest(list_transform(range(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+                FROM tk WHERE len(t) >= 4
+            )
+        ),
+        win AS (
+            SELECT doc_id, pos AS s,
+                   min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh,
+                   max(pos) OVER (PARTITION BY doc_id) AS maxpos
+            FROM sh
+        ),
+        selpos AS (
+            SELECT v.doc_id, v.s, min(b.pos) AS sel
+            FROM win v JOIN sh b ON b.doc_id = v.doc_id
+                                AND b.pos BETWEEN v.s AND v.s + 7 AND b.hv = v.mh
+            WHERE v.s <= v.maxpos - 7
+            GROUP BY v.doc_id, v.s
+        ),
+        fp AS (SELECT doc_id, count(DISTINCT sel) AS nf FROM selpos GROUP BY doc_id),
+        base AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(CASE WHEN b.nsh IS NULL THEN 0
+                         WHEN b.nsh <= 8 THEN 1
+                         ELSE f.nf END AS BIGINT) AS n_fingerprints
+        FROM documents d LEFT JOIN base b USING (doc_id) LEFT JOIN fp f USING (doc_id)
+    """,
+    "simhash": """
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS hv FROM tok
+        ),
+        bits AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM h CROSS JOIN (SELECT unnest(range(63)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                                 ELSE CAST(0 AS UBIGINT) END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
     """,
     "ngram_jaccard": """
         WITH tk AS (
