@@ -131,7 +131,11 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
         # generation (historically ~70% of wall time)
         from ..stages.scoring import prepare_score_pack
 
-        _tagged, reps, exact_edges = exact_collapse(feats, cfg)
+        # blocking reads only (node, sig) from the rep rows — projecting at
+        # the rep filter keeps the emb/tokseq payloads out of that copy
+        _tagged, reps, exact_edges = exact_collapse(
+            feats, cfg, rep_cols=("node", "sig")
+        )
         # launch the scoring broadcast-pack build NOW: it depends only on
         # feats, so its pack/sort tasks overlap the whole blocking section
         # instead of stalling the driver between pairs and scoring

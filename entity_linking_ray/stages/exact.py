@@ -121,13 +121,17 @@ def _exact_reduce(*tabs):
     return edges, np.sort(rep[~dup])  # reps == unique, sorted
 
 
-def exact_collapse(features, cfg: LinkageConfig):
+def exact_collapse(features, cfg: LinkageConfig, rep_cols=None):
     """features -> (tagged, reps, exact_edges).
 
     - tagged: features + ``rep_node`` — ONLY on the join (scale) plan; the
       broadcast plan returns None (nothing downstream needs it)
     - reps: one representative row per distinct sha256 (node == rep_node)
     - exact_edges: (src=rep_node, dst=node, score=1.0, kind='exact') for dups
+    - rep_cols: optional column projection applied BEFORE the rep filter;
+      when the caller only consumes a slice of the rep rows (linkage's
+      blocking reads just node+sig), projecting first keeps the multi-100-MB
+      emb/tokseq payloads out of the filter's plasma copy entirely.
     """
     import ray
     import ray.data
@@ -162,6 +166,10 @@ def exact_collapse(features, cfg: LinkageConfig):
         exact_edges = ray.data.from_arrow_refs([edges_ref])
 
         def _is_rep(t: pa.Table) -> pa.Table:
+            if rep_cols is not None:
+                # project BEFORE filtering so the wide emb/tokseq payloads
+                # never pass through the filter's take copy
+                t = t.select([c for c in rep_cols if c in t.column_names])
             rn = ray.get(nref)
             nd = t.column("node").to_numpy(zero_copy_only=False)
             if rn.shape[0] == 0:
@@ -203,8 +211,11 @@ def exact_collapse(features, cfg: LinkageConfig):
         num_partitions=cfg.shuffle_partitions,
         on=("node",),
     ).materialize()
-    reps = tagged.map_batches(
-        lambda t: t.filter(pc.equal(t["node"], t["rep_node"])),
-        batch_format="pyarrow",
-    )
+    def _rep_filter(t: pa.Table) -> pa.Table:
+        if rep_cols is not None:
+            t = t.select([c for c in (*rep_cols, "rep_node") if c in t.column_names])
+        t = t.filter(pc.equal(t["node"], t["rep_node"]))
+        return t.drop_columns(["rep_node"]) if rep_cols is not None else t
+
+    reps = tagged.map_batches(_rep_filter, batch_format="pyarrow")
     return tagged, reps, exact_edges

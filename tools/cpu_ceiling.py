@@ -42,10 +42,11 @@ def run(k: int, n: int) -> float:
 
 def main(n: int = 240_000, reps: int = 3) -> dict:
     out: dict = {}
-    for k in (1, 4, 8, 16, 32):
+    for k in (1, 2, 4, 8, 16, 32):
         out[f"wall_k{k}"] = round(min(run(k, n) for _ in range(reps)), 3)
     out["ceiling_8_32"] = round(out["wall_k8"] / out["wall_k32"], 3)
     out["ceiling_4_16"] = round(out["wall_k4"] / out["wall_k16"], 3)
+    out["ceiling_2_8"] = round(out["wall_k2"] / out["wall_k8"], 3)
     return out
 
 
