@@ -215,14 +215,24 @@ def run_scaling() -> dict:
     t_hi = med([r["value"] for r in hi_runs])
     n_files = lo_runs[0].get("n_files")
     eff = (t_lo / t_hi) / (hi / lo)
+    # min-based efficiency: external neighbor load on this shared box only
+    # ever ADDS wall time, so the per-level minimum across reps is the best
+    # estimator of the quiet-machine time (medians get poisoned whenever a
+    # whole campaign window is loaded; observed 0.51 vs 0.72 for identical
+    # code 40 minutes apart)
+    m_lo = min(r["value"] for r in lo_runs)
+    m_hi = min(r["value"] for r in hi_runs)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
+        "value_min_based": round((m_lo / m_hi) / (hi / lo), 3),
         "unit": "ratio",
         "cpus": [lo, hi],
         "reps": reps,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        f"sec_{lo}_min": m_lo,
+        f"sec_{hi}_min": m_hi,
         f"sec_{lo}_runs": [r["value"] for r in lo_runs],
         f"sec_{hi}_runs": [r["value"] for r in hi_runs],
         f"files_per_sec_{lo}": round(n_files / t_lo, 1),
