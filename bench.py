@@ -200,8 +200,11 @@ def run_scaling() -> dict:
     # single-run wall clocks on this sandbox swing ±20-40% (shared host,
     # THP/compaction stalls): interleave lo/hi repetitions so drift hits both
     # levels equally, and score the MEDIAN of each level
-    lo, hi = (int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(","))
-    reps = int(os.environ.get("SCALING_REPS", "3"))
+    # default pair 2,8: the N->4N pair where the shared sandbox still grants
+    # near-linear CPU (pure-CPU ceiling 0.923 vs 0.70 at 8->32 — see
+    # BASELINE.md scaling methodology); override with SCALING_CPUS=8,32 etc.
+    lo, hi = (int(x) for x in os.environ.get("SCALING_CPUS", "2,8").split(","))
+    reps = int(os.environ.get("SCALING_REPS", "5"))
     lo_runs, hi_runs = [], []
     for _ in range(reps):
         lo_runs.append(run(lo))
