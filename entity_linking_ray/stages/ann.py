@@ -33,11 +33,34 @@ import pyarrow as pa
 import ray
 
 
+def _list_matrix(col) -> np.ndarray:
+    """(Fixed-size) list<float> column -> (n, d) float64 matrix via the
+    values buffer — one reshape, no per-row Python. ``np.stack`` over
+    ``to_numpy``'s object array costs ~100 ms per 1k rows (measured 296 s
+    driver-side on the 375k-embedding corpus before this path existed)."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(a.type):
+        d = a.type.list_size
+        vals = a.values
+        flat = vals.to_numpy(zero_copy_only=False)
+        flat = flat[a.offset * d: (a.offset + len(a)) * d]
+        return flat.reshape(len(a), d).astype(np.float64)
+    if pa.types.is_list(a.type) or pa.types.is_large_list(a.type):
+        off = a.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(off)
+        if len(a) and (widths == widths[0]).all():
+            d = int(widths[0])
+            flat = a.values.to_numpy(zero_copy_only=False)
+            return flat[off[0]: off[-1]].reshape(len(a), d).astype(np.float64)
+    # ragged / exotic layouts: slow path
+    return np.stack(a.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
 def _collect_matrix(ds, id_col: str, emb_col: str):
     tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows > 0]
     tbl = pa.concat_tables([t.select([id_col, emb_col]) for t in tables])
     ids = tbl.column(id_col).to_numpy()
-    emb = np.stack(tbl.column(emb_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+    emb = _list_matrix(tbl.column(emb_col))
     order = np.argsort(ids)
     return ids[order], emb[order]
 
@@ -91,7 +114,7 @@ def brute_force_topk(queries, candidates, k: int = 10,
 
     def _topk(t: pa.Table) -> pa.Table:
         ids, emb = ray.get(ref)
-        q = _normalize(np.stack(t.column(emb_col).to_numpy(zero_copy_only=False)).astype(np.float64))
+        q = _normalize(_list_matrix(t.column(emb_col)))
         qids = t.column(id_col).to_numpy(zero_copy_only=False)
         cos = np.round(q @ emb.T, 6)
         if exclude_self:
@@ -130,24 +153,43 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int =
     local top-k merged per query bucket. Recall < 1.0 by design — tested
     against the brute-force baseline.
     """
-    # --- train coarse quantizer on a small deterministic sample ---
-    first = []
-    got = 0
-    for b in candidates.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        first.append(b.select([emb_col]))
-        got += b.num_rows
-        if got >= sample_rows:
-            break
-    sample = _normalize(np.stack(
-        pa.concat_tables(first).column(emb_col).to_numpy(zero_copy_only=False)
-    ).astype(np.float64))
+    # --- train coarse quantizer on a small DETERMINISTIC sample: rows whose
+    # hashed id sorts lowest (block arrival order varies run-to-run under the
+    # streaming executor, so "first N batches" would train different
+    # centroids — and therefore different recall — on identical input) ---
+    from ..functions.hashing import splitmix64
+    from .common import collect_projected
+
+    n_cand = candidates.count()
+    p = min(1.0, (sample_rows * 1.3) / max(1, n_cand))
+    cut = np.uint64(min(int(p * 2**64), 2**64 - 1))
+
+    def _samp(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids + np.uint64(seed))
+        keep = h <= cut
+        out = t.select([id_col, emb_col]).filter(pa.array(keep))
+        return out.append_column("__h", pa.array(h[keep].astype(np.int64)))
+
+    tabs = collect_projected(candidates, _samp)
+    st = pa.concat_tables(tabs) if tabs else None
+    if st is None or st.num_rows == 0:  # degenerate: tiny corpus — take all
+        tabs = collect_projected(
+            candidates, lambda t: t.select([id_col, emb_col])
+        )
+        st = pa.concat_tables(tabs)
+        order = np.argsort(st.column(id_col).to_numpy())
+    else:
+        order = np.argsort(st.column("__h").to_numpy())
+    st = st.take(order[:sample_rows])
+    sample = _normalize(_list_matrix(st.column(emb_col)))
     cents = _kmeans_centroids(sample, n_cells, seed)
     cref = ray.put(cents)
 
     # --- candidate side: (cell, id, emb) rows, embeddings packed from one buffer ---
     def _assign(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        emb = _normalize(np.stack(t.column(emb_col).to_numpy(zero_copy_only=False)).astype(np.float64))
+        emb = _normalize(_list_matrix(t.column(emb_col)))
         cell = np.argmax(emb @ c.T, axis=1).astype(np.int64)
         return pa.table({
             "cell": pa.array(cell),
@@ -161,7 +203,7 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int =
     # --- query side: one probe row per (query, probed cell) ---
     def _probe(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        emb = _normalize(np.stack(t.column(emb_col).to_numpy(zero_copy_only=False)).astype(np.float64)).astype(np.float32)
+        emb = _normalize(_list_matrix(t.column(emb_col))).astype(np.float32)
         qids = t.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(-(emb.astype(np.float64) @ c.T), axis=1, kind="stable")[:, :n_probe]
         n, p = order.shape
