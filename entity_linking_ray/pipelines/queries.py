@@ -776,37 +776,42 @@ def q_langid_accuracy(sf_dir: str):
                      "accuracy": pa.array([_round_half_up(h / max(1, n), 4)], type=pa.float64())})
 
 
-def q_simhash(sf_dir: str):
-    """SimHash fingerprints (near-dup sketch #2; 63-bit to stay int64-safe).
-
-    Token hash = first 8 bytes of md5 (big-endian) so the sketch is exactly
-    reproducible in SQL (hash-green oracle); occurrence-weighted majority vote
-    per bit, ties to 0, tokenless docs sketch to 0. The per-batch md5 memo
-    plus one (tokens x 63) matrix per doc keeps the kernel vectorized."""
+def _md5_simhash_batch(texts: list[str]) -> np.ndarray:
+    """63-bit SimHash per text (uint64 array). Token hash = first 8 bytes of
+    md5 (big-endian) so the sketch is exactly reproducible in SQL;
+    occurrence-weighted majority vote per bit, ties to 0, tokenless docs
+    sketch to 0. Per-batch md5 memo + one (tokens x 63) matrix per doc."""
     import hashlib
 
     import re
 
     word = re.compile(r"[a-z0-9_]+")
     shifts = np.arange(63, dtype=np.uint64)
+    memo: dict[str, int] = {}
+    vals = np.zeros(len(texts), dtype=np.uint64)
+    for r, s in enumerate(texts):
+        toks = word.findall(s.lower())
+        if not toks:
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, tk in enumerate(toks):
+            v = memo.get(tk)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(tk.encode()).digest()[:8], "big")
+                memo[tk] = v
+            hs[i] = v
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (bits * 2 - 1).sum(axis=0)
+        vals[r] = ((votes > 0).astype(np.uint64) << shifts).sum()
+    return vals
+
+
+def q_simhash(sf_dir: str):
+    """SimHash fingerprints (near-dup sketch #2; 63-bit to stay int64-safe,
+    md5-based and hash-green against the SQL oracle — see _md5_simhash_batch)."""
 
     def sh(t: pa.Table) -> pa.Table:
-        memo: dict[str, int] = {}
-        vals = np.zeros(t.num_rows, dtype=np.uint64)
-        for r, s in enumerate(t.column("text").to_pylist()):
-            toks = word.findall(s.lower())
-            if not toks:
-                continue
-            hs = np.empty(len(toks), dtype=np.uint64)
-            for i, tk in enumerate(toks):
-                v = memo.get(tk)
-                if v is None:
-                    v = int.from_bytes(hashlib.md5(tk.encode()).digest()[:8], "big")
-                    memo[tk] = v
-                hs[i] = v
-            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (bits * 2 - 1).sum(axis=0)
-            vals[r] = ((votes > 0).astype(np.uint64) << shifts).sum()
+        vals = _md5_simhash_batch(t.column("text").to_pylist())
         return pa.table({
             "doc_id": t["doc_id"],
             "simhash": pa.array(vals.astype(np.int64)),
@@ -814,6 +819,92 @@ def q_simhash(sf_dir: str):
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_simhash_near_dup(sf_dir: str, d: int = 5, bands: int = 6,
+                       num_partitions: int = NPART):
+    """SimHash near-dup pairs via banded LSH with an EXACT-recall guarantee:
+    the 63 sketch bits split into ``bands`` disjoint bands, docs bucket on
+    each band value, candidate pairs form within buckets, and a broadcast
+    verify keeps pairs with hamming(simhash) <= d. Pigeonhole: a pair
+    differing in <= d bits agrees on at least one of d+1 disjoint bands, so
+    with bands > d the plan finds EVERY qualifying pair — which is what makes
+    the O(n^2) SQL oracle a fair check.
+
+    Scale contract: candidate volume grows with corpus^2 / 2^(bits_per_band);
+    the d=5 / 6-band setting (10-13 bits per band) is the exact-recall
+    configuration for corpora up to ~10^6 docs — at 100 TB use d=3 / 4 bands
+    (15-16 bits per band), the standard web-dedup operating point."""
+    from ..stages.blocking import bucketed_pairs
+
+    assert bands > d, "pigeonhole completeness needs bands > d"
+    bits = 63 // bands  # last band absorbs the remainder
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def sh(t: pa.Table) -> pa.Table:
+        vals = _md5_simhash_batch(t.column("text").to_pylist())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "simhash": pa.array(vals.astype(np.int64)),
+        })
+
+    sketches = docs.map_batches(
+        sh, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers: band explode + verify broadcast
+
+    def explode(t: pa.Table) -> pa.Table:
+        v = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keys, outids = [], []
+        for b in range(bands):
+            lo = b * bits
+            width = bits if b < bands - 1 else 63 - lo
+            val = (v >> np.uint64(lo)) & np.uint64((1 << width) - 1)
+            keys.append((np.uint64(b) << np.uint64(48)) | val)
+            outids.append(ids)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys).astype(np.int64)),
+            "node": pa.array(np.concatenate(outids)),
+        })
+
+    cand = bucketed_pairs(
+        sketches.map_batches(explode, batch_format="pyarrow"),
+        key_col="band_key", id_col="node", cap=1 << 30,
+        num_partitions=num_partitions,
+        out_cols=("doc_a", "doc_b", "first_band"),
+    )
+
+    # broadcast verify: one int64 sketch per doc — sorted arrays, searchsorted
+    tabs = [
+        t for t in (ray.get(r) for r in sketches.to_arrow_refs()) if t.num_rows
+    ]
+    ids = np.concatenate([t.column("doc_id").to_numpy() for t in tabs])
+    shs = np.concatenate([
+        t.column("simhash").to_numpy().astype(np.uint64) for t in tabs
+    ])
+    o = np.argsort(ids)
+    vref = ray.put((ids[o], shs[o]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        sids, ssh = ray.get(vref)
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        x = ssh[np.searchsorted(sids, a)] ^ ssh[np.searchsorted(sids, b)]
+        if x.shape[0]:
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(x.shape[0], 8), axis=1
+            ).sum(axis=1).astype(np.int64)
+        else:
+            ham = np.empty(0, dtype=np.int64)
+        keep = ham <= d
+        return pa.table({
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "hamming": pa.array(ham[keep]),
+        })
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -1699,6 +1790,35 @@ ORACLE_SQL: dict[str, str] = {
         SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
         FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
     """,
+    "simhash_near_dup": """
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS hv FROM tok
+        ),
+        bits AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM h CROSS JOIN (SELECT unnest(range(63)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sk AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                                 ELSE CAST(0 AS UBIGINT) END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        ),
+        shp AS (
+            SELECT d.doc_id, coalesce(sk.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM shp a JOIN shp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    """,
     "ngram_jaccard": """
         WITH tk AS (
             SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t
@@ -1872,6 +1992,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
+    "simhash_near_dup": q_simhash_near_dup,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "retrieval_rate": q_retrieval_rate,

@@ -26,6 +26,7 @@ SUBSET = [
     "tokenize_pad",
     "transform_mentions",
     "ngram_jaccard",
+    "simhash_near_dup",
 ]
 
 
