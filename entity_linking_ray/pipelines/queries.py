@@ -822,7 +822,8 @@ def q_simhash(sf_dir: str):
 
 
 def q_simhash_near_dup(sf_dir: str, d: int = 5, bands: int = 6,
-                       num_partitions: int = NPART):
+                       num_partitions: int = NPART,
+                       broadcast_limit: int | None = None):
     """SimHash near-dup pairs via banded LSH with an EXACT-recall guarantee:
     the 63 sketch bits split into ``bands`` disjoint bands, docs bucket on
     each band value, candidate pairs form within buckets, and a broadcast
@@ -875,22 +876,8 @@ def q_simhash_near_dup(sf_dir: str, d: int = 5, bands: int = 6,
         out_cols=("doc_a", "doc_b", "first_band"),
     )
 
-    # broadcast verify: one int64 sketch per doc — sorted arrays, searchsorted
-    tabs = [
-        t for t in (ray.get(r) for r in sketches.to_arrow_refs()) if t.num_rows
-    ]
-    ids = np.concatenate([t.column("doc_id").to_numpy() for t in tabs])
-    shs = np.concatenate([
-        t.column("simhash").to_numpy().astype(np.uint64) for t in tabs
-    ])
-    o = np.argsort(ids)
-    vref = ray.put((ids[o], shs[o]))
-
-    def verify(t: pa.Table) -> pa.Table:
-        sids, ssh = ray.get(vref)
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
-        x = ssh[np.searchsorted(sids, a)] ^ ssh[np.searchsorted(sids, b)]
+    def _ham_filter(a, b, sa, sb) -> pa.Table:
+        x = sa ^ sb
         if x.shape[0]:
             ham = np.unpackbits(
                 x.view(np.uint8).reshape(x.shape[0], 8), axis=1
@@ -904,7 +891,54 @@ def q_simhash_near_dup(sf_dir: str, d: int = 5, bands: int = 6,
             "hamming": pa.array(ham[keep]),
         })
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    # verify: one int64 sketch per doc — size-gated like every small side:
+    # broadcast sorted arrays below the gate, join onto both pair sides above
+    if broadcast_limit is None:
+        broadcast_limit = LinkageConfig().broadcast_key_limit
+    if sketches.count() <= broadcast_limit:
+        tabs = [
+            t for t in (ray.get(r) for r in sketches.to_arrow_refs()) if t.num_rows
+        ]
+        ids = np.concatenate([t.column("doc_id").to_numpy() for t in tabs])
+        shs = np.concatenate([
+            t.column("simhash").to_numpy().astype(np.uint64) for t in tabs
+        ])
+        o = np.argsort(ids)
+        vref = ray.put((ids[o], shs[o]))
+
+        def verify(t: pa.Table) -> pa.Table:
+            sids, ssh = ray.get(vref)
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            return _ham_filter(
+                a, b, ssh[np.searchsorted(sids, a)], ssh[np.searchsorted(sids, b)]
+            )
+
+        return cand.map_batches(verify, batch_format="pyarrow")
+
+    pj = max(2, num_partitions // 2)
+    ja = safe_join(
+        scrub_empty_blocks(cand),
+        sketches.map_batches(lambda t: t.rename_columns(["doc_a", "sh_a"]),
+                             batch_format="pyarrow"),
+        join_type="inner", num_partitions=pj, on=("doc_a",),
+    ).materialize()  # sequential joins: concurrent pools starve each other
+    jb = safe_join(
+        ja,
+        sketches.map_batches(lambda t: t.rename_columns(["doc_b", "sh_b"]),
+                             batch_format="pyarrow"),
+        join_type="inner", num_partitions=pj, on=("doc_b",),
+    )
+
+    def verify_j(t: pa.Table) -> pa.Table:
+        return _ham_filter(
+            t.column("doc_a").to_numpy(zero_copy_only=False),
+            t.column("doc_b").to_numpy(zero_copy_only=False),
+            t.column("sh_a").to_numpy(zero_copy_only=False).astype(np.uint64),
+            t.column("sh_b").to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+
+    return jb.map_batches(verify_j, batch_format="pyarrow")
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -1082,7 +1116,8 @@ def q_minhash_near_dup(sf_dir: str, broadcast_limit: int | None = None):
 
 
 def q_ngram_jaccard(sf_dir: str, tau: float = 0.3, w: int = 3,
-                    num_partitions: int = NPART):
+                    num_partitions: int = NPART,
+                    broadcast_limit: int | None = None):
     """Exact n-gram (word w-gram) Jaccard near-dup pairs over documents.text —
     the EXACT member of the dedup family (exact sha / MinHash-LSH approximate /
     simhash sketch / embedding cosine). Emits every (doc_a, doc_b, jaccard)
@@ -1234,36 +1269,7 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.3, w: int = 3,
         exploded, "__part", P, _pairs_kernel, col2="__p2", kernel2=_sum_kernel
     )
 
-    # per-doc distinct-shingle counts: one row per doc — broadcast as two
-    # sorted numpy arrays (zero-copy plasma mmap per task, never a dict)
-    from ..stages.common import collect_projected
-
-    cnt_tabs = collect_projected(
-        exploded,
-        lambda t: (
-            t.group_by(["doc_id"]).aggregate([("shingle", "count")])
-            .rename_columns(["doc_id", "n"])
-        ),
-    )
-    if not cnt_tabs:
-        return rd.from_arrow(pa.table({
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-            "jaccard": pa.array([], type=pa.float64()),
-        }))
-    ct = pa.concat_tables(cnt_tabs).group_by(["doc_id"]).aggregate([("n", "sum")])
-    cids = ct.column("doc_id").to_numpy()
-    cns = ct.column("n_sum").to_numpy()
-    o = np.argsort(cids)
-    cref = ray.put((cids[o], cns[o]))
-
-    def _finalize(t: pa.Table) -> pa.Table:
-        ids_s, ns_s = ray.get(cref)
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
-        isz = t.column("isz").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = ns_s[np.searchsorted(ids_s, a)].astype(np.float64)
-        nb = ns_s[np.searchsorted(ids_s, b)].astype(np.float64)
+    def _jac_filter(a, b, isz, na, nb) -> pa.Table:
         jac = isz / (na + nb - isz)
         keep = jac >= tau  # filter on the exact float, round only for output
         jr = np.array([_round_half_up(x, 4) for x in jac[keep]])
@@ -1273,7 +1279,73 @@ def q_ngram_jaccard(sf_dir: str, tau: float = 0.3, w: int = 3,
             "jaccard": pa.array(jr, type=pa.float64()),
         })
 
-    return scrub_empty_blocks(inter).map_batches(_finalize, batch_format="pyarrow")
+    # per-doc distinct-shingle counts: one 16-byte row per doc — size-gated:
+    # broadcast as two sorted numpy arrays below the gate, hash-join the
+    # counts onto both pair sides above it (one int64 per 10^9 docs is 16 GB
+    # — too big to map into every scoring task)
+    if broadcast_limit is None:
+        broadcast_limit = LinkageConfig().broadcast_key_limit
+    from ..stages.common import partitioned_aggregate
+
+    counts = scrub_empty_blocks(partitioned_aggregate(
+        exploded.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        ),
+        ["doc_id"], [("doc_id", "count", "n")], num_partitions,
+    )).materialize()
+    if counts.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }))
+
+    if counts.count() <= broadcast_limit:
+        ct = pa.concat_tables([
+            t for t in (ray.get(r) for r in counts.to_arrow_refs()) if t.num_rows
+        ])
+        cids = ct.column("doc_id").to_numpy()
+        cns = ct.column("n").to_numpy()
+        o = np.argsort(cids)
+        cref = ray.put((cids[o], cns[o]))
+
+        def _finalize(t: pa.Table) -> pa.Table:
+            ids_s, ns_s = ray.get(cref)
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            isz = t.column("isz").to_numpy(zero_copy_only=False).astype(np.float64)
+            na = ns_s[np.searchsorted(ids_s, a)].astype(np.float64)
+            nb = ns_s[np.searchsorted(ids_s, b)].astype(np.float64)
+            return _jac_filter(a, b, isz, na, nb)
+
+        return scrub_empty_blocks(inter).map_batches(_finalize, batch_format="pyarrow")
+
+    # scale plan: join counts onto both pair sides (sequential joins —
+    # concurrent join pools starve each other, see q_minhash_near_dup)
+    pj = max(2, num_partitions // 2)
+    ja = safe_join(
+        scrub_empty_blocks(inter),
+        counts.map_batches(lambda t: t.rename_columns(["doc_a", "na"]),
+                           batch_format="pyarrow"),
+        join_type="inner", num_partitions=pj, on=("doc_a",),
+    ).materialize()
+    jb = safe_join(
+        ja,
+        counts.map_batches(lambda t: t.rename_columns(["doc_b", "nb"]),
+                           batch_format="pyarrow"),
+        join_type="inner", num_partitions=pj, on=("doc_b",),
+    )
+
+    def _finalize_j(t: pa.Table) -> pa.Table:
+        return _jac_filter(
+            t.column("doc_a").to_numpy(zero_copy_only=False),
+            t.column("doc_b").to_numpy(zero_copy_only=False),
+            t.column("isz").to_numpy(zero_copy_only=False).astype(np.float64),
+            t.column("na").to_numpy(zero_copy_only=False).astype(np.float64),
+            t.column("nb").to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+
+    return jb.map_batches(_finalize_j, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

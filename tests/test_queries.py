@@ -114,3 +114,29 @@ def test_minhash_verify_plans_agree():
         a[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         b[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
     )
+
+
+def test_ngram_jaccard_plans_agree():
+    """ngram_jaccard: broadcast count lookup == count hash-join plan."""
+    from entity_linking_ray.pipelines.queries import q_ngram_jaccard
+
+    a = q_ngram_jaccard(SF).to_pandas()
+    b = q_ngram_jaccard(SF, broadcast_limit=0).to_pandas()
+    cols = ["doc_a", "doc_b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        b[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+    )
+
+
+def test_simhash_near_dup_plans_agree():
+    """simhash_near_dup: broadcast sketch lookup == sketch hash-join plan."""
+    from entity_linking_ray.pipelines.queries import q_simhash_near_dup
+
+    a = q_simhash_near_dup(SF).to_pandas()
+    b = q_simhash_near_dup(SF, broadcast_limit=0).to_pandas()
+    cols = ["doc_a", "doc_b", "hamming"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        b[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+    )
