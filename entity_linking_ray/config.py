@@ -60,6 +60,9 @@ class LinkageConfig:
     # size this to ~5% of per-node object-store memory. Crossing the gate
     # costs ~5x on one box (the per-pair feature join ships KB-sized rows),
     # so prefer raising it as long as the packed features fit comfortably.
+    # At runtime every gate site clamps this against the ACTUAL plasma size
+    # (common.effective_broadcast_rows: 5% of object-store bytes / 1.3 KB),
+    # so hosts with small object stores fall back to the join plan safely.
     broadcast_feature_rows: int = 3_000_000
 
     # --- clustering ---

@@ -187,13 +187,18 @@ def oph_signatures(
     starts = np.flatnonzero(np.diff(combined, prepend=combined[0] - 1))
     mins = np.minimum.reduceat(vals, starts)
     sig.ravel()[combined[starts]] = mins
+    # bin emptiness is tracked EXPLICITLY: a legitimate min equal to the
+    # 0xFFFFFFFF fill value (p ~ 2^-32 per bin) must not be densified away
+    nonempty = np.zeros((n, num_perm), dtype=bool)
+    nonempty.ravel()[combined[starts]] = True
 
-    if (sig == SENT).any():
+    if not nonempty.all():
         # rotation densification: nearest non-empty bin to the right, cyclic
         two = np.concatenate([sig, sig], axis=1)
+        ne2 = np.concatenate([nonempty, nonempty], axis=1)
         b2 = 2 * num_perm
         idx = np.arange(b2)
-        cand = np.where(two != SENT, idx, b2)
+        cand = np.where(ne2, idx, b2)
         nxt = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1][:, :num_perm]
         has_any = nxt[:, 0] < b2  # rows with at least one non-empty bin
         src = np.minimum(nxt, b2 - 1)

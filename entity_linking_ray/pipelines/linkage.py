@@ -139,8 +139,11 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
         # launch the scoring broadcast-pack build NOW: it depends only on
         # feats, so its pack/sort tasks overlap the whole blocking section
         # instead of stalling the driver between pairs and scoring
+        from ..stages.common import effective_broadcast_rows
+
         pack = (prepare_score_pack(feats, cfg)
-                if n_rows <= cfg.broadcast_feature_rows else None)
+                if n_rows <= effective_broadcast_rows(cfg.broadcast_feature_rows)
+                else None)
         # pairs are compact (24 B/row); pinning lets us cheaply detect the
         # no-candidates case — a zero-block dataset entering a hash join
         # loses its schema and crashes acero with 0-column partitions

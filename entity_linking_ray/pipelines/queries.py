@@ -1048,7 +1048,11 @@ def q_minhash_near_dup(sf_dir: str, broadcast_limit: int | None = None):
         return out.filter(pc.greater_equal(out["jaccard"], 0.3))
 
     if broadcast_limit is None:
-        broadcast_limit = LinkageConfig().broadcast_feature_rows
+        from ..stages.common import effective_broadcast_rows
+
+        broadcast_limit = effective_broadcast_rows(
+            LinkageConfig().broadcast_feature_rows
+        )
     if feats.count() <= broadcast_limit:
         # broadcast plan: shingle blobs packed into (sorted ids, blob,
         # starts, lens) numpy arrays — zero-copy plasma mmap per task, never

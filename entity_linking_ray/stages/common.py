@@ -16,6 +16,30 @@ def default_partitions(cap: int = 16) -> int:
     return max(2, min(cap, cpus))
 
 
+def effective_broadcast_rows(limit: int, bytes_per_row: int = 1300,
+                             frac: float = 0.05) -> int:
+    """Clamp a broadcast-plan row gate against the ACTUAL object-store size.
+
+    The configured gate (``cfg.broadcast_feature_rows``) assumes a plasma
+    store big enough to hold the packed feature arrays (~1.3 KB/row for the
+    sig+emb+tokseq pack); on hosts with small object stores (Ray default:
+    30% of RAM) a static 3M-row gate could pick the broadcast plan for a
+    corpus whose pack spills or fails the ``ray.put``. The effective gate is
+    ``min(limit, frac * object_store_bytes / bytes_per_row)`` — per-node
+    plasma is identical across the cluster, so plan selection stays
+    deterministic across parallelism levels. Both plans produce identical
+    output (plan-agreement tested), so a clamp never changes results.
+    """
+    import ray
+
+    if not ray.is_initialized():
+        return limit
+    plasma = ray.cluster_resources().get("object_store_memory")
+    if not plasma:
+        return limit
+    return max(10_000, min(limit, int(plasma * frac / bytes_per_row)))
+
+
 def collect_projected(ds, pack_fn):
     """Run ``pack_fn`` (Table -> compact Table) over ``ds`` as a Dataset map
     and collect the small outputs to the driver.

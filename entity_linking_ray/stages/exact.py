@@ -151,7 +151,9 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None):
         })))
         return None, features, empty_edges
 
-    if n_rows <= cfg.broadcast_feature_rows:
+    from .common import effective_broadcast_rows
+
+    if n_rows <= effective_broadcast_rows(cfg.broadcast_feature_rows):
         # fully remote broadcast plan: per-block-group pack tasks feed ONE
         # reduce that computes the per-sha min-node mapping, the dup-edge
         # table and the sorted rep-node set — the driver only holds the
@@ -185,7 +187,13 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None):
     # mapping (per-partition group_by(min) + in-process join), then a hash
     # join on node (int64 — cheaper than the sha string) tags every row.
     def _add_part(t: pa.Table) -> pa.Table:
-        part = (t.column("k0").to_numpy() % np.uint64(cfg.shuffle_partitions)).astype(np.int64)
+        # cast BEFORE the modulo: int64 % uint64-scalar promotes to float64 in
+        # numpy (silently computing on float-rounded keys); uint64 % uint64
+        # stays exact integer math like the other _add_part implementations
+        part = (
+            t.column("k0").to_numpy().astype(np.uint64)
+            % np.uint64(cfg.shuffle_partitions)
+        ).astype(np.int64)
         return t.append_column("__part", pa.array(part))
 
     def _rep_emit(t: pa.Table) -> pa.Table:

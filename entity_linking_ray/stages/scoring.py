@@ -165,9 +165,11 @@ def _pack_features(t: pa.Table) -> pa.Table:
     })
 
 
-# per-worker-process record of broadcast arrays already page-swept (ray.get
-# caches the deserialized object per worker, so id() is stable across tasks)
-_PREFAULTED: set[int] = set()
+# per-worker-process record of broadcast packs already page-swept, keyed by
+# the ObjectRef hex string (stable per broadcast; an id() key could be
+# recycled after the cached deserialized object is GC'd and falsely skip the
+# sweep for a NEW pack)
+_PREFAULTED: set[str] = set()
 
 
 def _pack_group(*tabs) -> pa.Table:
@@ -256,14 +258,15 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
     def _score(batch: pa.Table) -> pa.Table:
         _bt0 = time.time()
         fnodes, fperm, fsig, femb = ray.get(ref)
-        if id(fsig) not in _PREFAULTED:
+        _pkey = ref.hex()
+        if _pkey not in _PREFAULTED:
             # touch one byte per page SEQUENTIALLY before the random pair
             # gathers: a cold plasma mapping faulted in random order stalls
             # for seconds under this host's THP compaction, while a
             # sequential sweep rides readahead (~0.05 s hot, ~0.3 s cold)
             fsig.reshape(-1)[::1024].sum()
             femb.reshape(-1)[::1024].sum()
-            _PREFAULTED.add(id(fsig))
+            _PREFAULTED.add(_pkey)
         n = batch.num_rows
         if n == 0:
             return pa.table({
@@ -321,7 +324,11 @@ def score_edges(pairs, features, cfg: LinkageConfig, pack=None):
     feature table fits (see _score_edges_broadcast), else the two-phase
     join plan below. ``pack``: pre-launched prepare_score_pack refs (implies
     the broadcast plan — the caller already sized the gate)."""
-    if pack is not None or features.count() <= cfg.broadcast_feature_rows:
+    from .common import effective_broadcast_rows
+
+    if pack is not None or features.count() <= effective_broadcast_rows(
+        cfg.broadcast_feature_rows
+    ):
         return _score_edges_broadcast(pairs, features, cfg, pack=pack)
     scored = join_pair_features(pairs, features, cfg).map_batches(
         lambda t: _bulk_score(t, cfg), batch_format="pyarrow"
