@@ -1405,26 +1405,106 @@ def q_embedding_topk(sf_dir: str):
     return ds.map_batches(topk, batch_format="pyarrow")
 
 
-def q_embedding_near_dup(sf_dir: str):
+def q_embedding_near_dup(sf_dir: str, tau: float = 0.35,
+                         num_partitions: int = NPART,
+                         broadcast_limit: int | None = None):
     """Embedding-cosine near-dup pairs within the same label bucket
-    (cos >= 0.35 — the synthetic embeddings are near-orthogonal, so the "near-dup" threshold is scaled to the data). Label acts as the blocking key; per-block matmul."""
-    docs = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    (cos >= 0.35 — the synthetic embeddings are near-orthogonal, so the
+    "near-dup" threshold is scaled to the data). Label is the blocking key.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        cos = np.round(m @ m.T, 6)
-        i, j = np.triu_indices(len(ids), k=1)
-        keep = cos[i, j] >= 0.35
-        return pd.DataFrame({
-            "vec_a": ids[i[keep]].astype(np.int64),
-            "vec_b": ids[j[keep]].astype(np.int64),
+    Scale plan (same shape as q_simhash_near_dup): candidate (a < b) pairs
+    come from the vectorized ``bucketed_pairs`` segment-math generator —
+    16-byte (label, vec_id) rows through one hash exchange, MANY labels per
+    task, no per-distinct-label Python — then a cosine verify that is
+    size-gated: below the gate the id-sorted normalized embedding matrix is
+    broadcast once (``ray.put``) and each pair batch is verified with one
+    gathered einsum; above it, two hash joins ship the embeddings (packed as
+    FixedSizeBinary from one buffer) onto the pair rows. A hot label at
+    scale is bounded by the pair generator's deterministic per-block cap,
+    not by a single task's memory."""
+    from ..stages.ann import _emb_fixed_bin, _fixed_bin_matrix, _list_matrix
+    from ..stages.blocking import bucketed_pairs
+
+    emb_ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def _rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": t["label"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
         })
 
-    return docs.groupby("label").map_groups(pairs, batch_format="pandas")
+    cand = bucketed_pairs(
+        emb_ds.map_batches(_rows, batch_format="pyarrow"),
+        key_col="label", id_col="vec_id", cap=1 << 30,
+        num_partitions=num_partitions,
+        out_cols=("vec_a", "vec_b", "first_label"),
+    )
+
+    def _cos_keep(ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+        return np.round(np.einsum("ij,ij->i", ea, eb), 6) >= tau
+
+    if broadcast_limit is None:
+        broadcast_limit = LinkageConfig().broadcast_key_limit
+    if emb_ds.count() <= broadcast_limit:
+        tabs = [t for t in (ray.get(r) for r in emb_ds.to_arrow_refs())
+                if t.num_rows]
+        ids = np.concatenate([t.column("vec_id").to_numpy() for t in tabs])
+        mat = np.concatenate([_list_matrix(t.column("embedding")) for t in tabs])
+        o = np.argsort(ids)
+        mat = mat[o]
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        vref = ray.put((ids[o], mat))
+
+        def verify(t: pa.Table) -> pa.Table:
+            sids, m = ray.get(vref)
+            a = t.column("vec_a").to_numpy(zero_copy_only=False)
+            b = t.column("vec_b").to_numpy(zero_copy_only=False)
+            keep = _cos_keep(m[np.searchsorted(sids, a)],
+                             m[np.searchsorted(sids, b)])
+            return pa.table({
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+            })
+
+        return cand.map_batches(verify, batch_format="pyarrow")
+
+    # scale path: pack normalized embeddings to FixedSizeBinary and join them
+    # onto both pair sides (sequential joins: concurrent pools starve).
+    # Packed as float64: the 6-dp cosine rounding must match the broadcast
+    # plan (and the DOUBLE-typed SQL oracle) bit for bit.
+    def _packed(t: pa.Table, id_name: str, emb_name: str) -> pa.Table:
+        m = _list_matrix(t.column("embedding"))
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        return pa.table({
+            id_name: t["vec_id"].cast(pa.int64()),
+            emb_name: _emb_fixed_bin(m, dtype=np.float64),
+        })
+
+    pj = max(2, num_partitions // 2)
+    ja = safe_join(
+        scrub_empty_blocks(cand),
+        emb_ds.map_batches(lambda t: _packed(t, "vec_a", "e_a"),
+                           batch_format="pyarrow"),
+        join_type="inner", num_partitions=pj, on=("vec_a",),
+    ).materialize()
+    jb = safe_join(
+        ja,
+        emb_ds.map_batches(lambda t: _packed(t, "vec_b", "e_b"),
+                           batch_format="pyarrow"),
+        join_type="inner", num_partitions=pj, on=("vec_b",),
+    )
+
+    def verify_j(t: pa.Table) -> pa.Table:
+        keep = _cos_keep(
+            _fixed_bin_matrix(t.column("e_a"), dtype=np.float64),
+            _fixed_bin_matrix(t.column("e_b"), dtype=np.float64),
+        )
+        return pa.table({
+            "vec_a": pa.array(t.column("vec_a").to_numpy(zero_copy_only=False)[keep]),
+            "vec_b": pa.array(t.column("vec_b").to_numpy(zero_copy_only=False)[keep]),
+        })
+
+    return jb.map_batches(verify_j, batch_format="pyarrow")
 
 
 def q_retrieval_rate(sf_dir: str):

@@ -62,8 +62,29 @@ def read_documents_json(paths, corpus_names=None) -> "rd.Dataset":
     return ds
 
 
+def _key_hash(t: pa.Table, corpus_col: str, id_col: str):
+    """Vectorized (corpus, document_id) composite key: the '\\x00'-joined key
+    string built by an Arrow kernel, hashed to int64 by pandas' C siphash —
+    no per-row Python f-strings. Returns (hash int64, key object ndarray)."""
+    import pandas as pd
+
+    joined = pc.binary_join_element_wise(
+        t.column(corpus_col).cast(pa.string()),
+        t.column(id_col).cast(pa.string()),
+        "\x00",
+    )
+    keys = joined.to_numpy(zero_copy_only=False)
+    # categorize=False: the categorize path factorizes through a C-string
+    # khash that TRUNCATES at the embedded NUL separator ('a\\x00x' and
+    # 'a\\x00a' collide); the direct siphash path is NUL-safe
+    h = (pd.util.hash_array(keys, categorize=False)
+         & np.uint64((1 << 63) - 1)).astype(np.int64)
+    return h, keys
+
+
 def _collect_documents(documents):
-    """(corpus, document_id) -> packed sorted lookup arrays + payload lists."""
+    """Broadcast build side, sorted by (key hash, key string): int64 hash
+    lookup array, key strings (hash-collision verify), payload object arrays."""
     tabs = [
         t for t in (
             ray.get(r) for r in documents.map_batches(
@@ -73,69 +94,169 @@ def _collect_documents(documents):
         ) if t.num_rows
     ]
     tbl = pa.concat_tables(tabs)
-    key = np.asarray(
-        [f"{c}\x00{d}" for c, d in zip(
-            tbl.column("corpus").to_pylist(), tbl.column("document_id").to_pylist()
-        )],
-        dtype=object,
-    )
-    order = np.argsort(key)
+    h, keys = _key_hash(tbl, "corpus", "document_id")
+    order = np.lexsort((keys, h))
     return (
-        key[order],
-        tbl.column("document_id").take(pa.array(order)),
-        tbl.column("title").take(pa.array(order)),
-        tbl.column("text").take(pa.array(order)),
+        h[order],
+        keys[order],
+        tbl.column("document_id").to_numpy(zero_copy_only=False)[order],
+        tbl.column("title").to_numpy(zero_copy_only=False)[order],
+        tbl.column("text").to_numpy(zero_copy_only=False)[order],
     )
 
 
-def transform_mentions(mentions, documents, npart: int = 16):
-    """Denormalize mentions with their context + label documents.
+def _emit(base: pa.Table, si, li, dids, dtitles, dtexts) -> pa.Table:
+    """Attach the flat src_*/label_* title+text columns and the nested
+    document structs for resolved mention rows (si/li: build-side row index
+    per kept row). The document ids are NOT re-emitted flat — the raw mention
+    columns context_document_id/label_document_id already carry them."""
+    out = base
+    for prefix, idx in (("src", si), ("label", li)):
+        out = out.append_column(f"{prefix}_title",
+                                pa.array(dtitles[idx], type=pa.string()))
+        out = out.append_column(f"{prefix}_text",
+                                pa.array(dtexts[idx], type=pa.string()))
+    for side, (prefix, idx) in (("source_document", ("src", si)),
+                                ("label_document", ("label", li))):
+        out = out.append_column(side, pa.StructArray.from_arrays(
+            [pa.array(dids[idx], type=pa.string()),
+             out[f"{prefix}_title"].combine_chunks(),
+             out[f"{prefix}_text"].combine_chunks()],
+            names=["document_id", "title", "text"],
+        ))
+    return out
 
-    Broadcast join: the (corpus, document_id)-keyed document table is shipped
-    once via ray.put; each mention batch resolves both document references
-    with two vectorized searchsorted probes. Scale note: the corpus dict is
-    the reference's own in-RAM requirement (README.md:54 demands ≥20 GB for
-    exactly this dict); past that, swap the lookup for two hash joins on
-    (corpus, document_id) — same output, one shuffle each.
+
+def transform_mentions(mentions, documents, npart: int = 16,
+                       plan: str | None = None,
+                       broadcast_doc_limit: int = 2_000_000):
+    """Denormalize mentions with their context + label documents
+    (transform_zeshel.py:12-14's in-RAM dict lookups).
+
+    Output = the mention's raw columns + flat ``src_title/src_text`` and
+    ``label_title/label_text`` columns (the document ids already travel as
+    the raw ``context_document_id``/``label_document_id`` columns) + nested
+    ``source_document``/``label_document`` structs (the reference's output
+    shape). Mentions referencing a missing document are DROPPED silently
+    (the reference instead KeyErrors, transform_zeshel.py:13-14); audit the
+    drop count with ``count_dropped`` (= mentions.count() - out.count()).
+
+    Two size-gated plans, both producing identical rows (plan-agreement
+    tested):
+
+    - ``broadcast`` (documents <= broadcast_doc_limit — the reference's own
+      regime: README.md:54 demands the corpus dict fit in >=20 GB RAM): the
+      document projection ships once via ``ray.put`` keyed by an int64
+      siphash of the '\\x00'-joined (corpus, document_id) key; each mention
+      batch resolves both references with vectorized searchsorted probes
+      plus a string-equality verify on the probe hit (hash collisions fall
+      back to a scan over the colliding run only).
+    - ``join``: two hash-shuffle joins on (corpus, document id) — mentions ⋈
+      docs on the context key, then on the label key. One all-to-all each;
+      the plan for corpora past single-node RAM.
     """
-    key, doc_ids, titles, texts = _collect_documents(documents)
-    ref = ray.put((key, doc_ids.to_pylist(), titles.to_pylist(), texts.to_pylist()))
+    if plan is None:
+        plan = ("broadcast" if documents.count() <= broadcast_doc_limit
+                else "join")
+    if plan == "join":
+        return _transform_mentions_join(mentions, documents, npart)
+
+    hs, keys, doc_ids, titles, texts = _collect_documents(documents)
+    ref = ray.put((hs, keys, doc_ids, titles, texts))
 
     def _attach(t: pa.Table) -> pa.Table:
-        k, dids, dtitles, dtexts = ray.get(ref)
-        corpus = t.column("corpus").to_pylist()
+        bh, bkeys, dids, dtitles, dtexts = ray.get(ref)
 
         def lookup(col):
-            q = np.asarray(
-                [f"{c}\x00{d}" for c, d in zip(corpus, t.column(col).to_pylist())],
-                dtype=object,
-            )
-            idx = np.searchsorted(k, q)
-            idx[idx >= k.shape[0]] = 0
-            hit = k[idx] == q
+            qh, qk = _key_hash(t, "corpus", col)
+            idx = np.searchsorted(bh, qh)
+            idx[idx >= bh.shape[0]] = 0
+            hit = (bh[idx] == qh) & (bkeys[idx] == qk)
+            # hash matched but string didn't: a collision run — scan the few
+            # colliding entries only (64-bit siphash collisions are ~absent;
+            # this loop exists for correctness, not the hot path)
+            for i in np.flatnonzero((bh[idx] == qh) & ~hit):
+                j = idx[i]
+                while j < bh.shape[0] and bh[j] == qh[i]:
+                    if bkeys[j] == qk[i]:
+                        idx[i] = j
+                        hit[i] = True
+                        break
+                    j += 1
             return idx, hit
 
         si, sh = lookup("context_document_id")
         li, lh = lookup("label_document_id")
-        ok = sh & lh  # the reference KeyErrors on a missing doc; we drop+count
-        keep = np.flatnonzero(ok)
-        base = t.take(pa.array(keep))
-
-        def struct(idx):
-            sel = idx[keep]
-            return pa.StructArray.from_arrays(
-                [
-                    pa.array([dids[i] for i in sel], type=pa.string()),
-                    pa.array([dtitles[i] for i in sel], type=pa.string()),
-                    pa.array([dtexts[i] for i in sel], type=pa.string()),
-                ],
-                names=["document_id", "title", "text"],
-            )
-
-        out = base.append_column("source_document", struct(si))
-        return out.append_column("label_document", struct(li))
+        keep = np.flatnonzero(sh & lh)
+        return _emit(t.take(pa.array(keep)), si[keep], li[keep],
+                     dids, dtitles, dtexts)
 
     return mentions.map_batches(_attach, batch_format="pyarrow")
+
+
+def _transform_mentions_join(mentions, documents, npart: int):
+    """The scale plan: two hash-shuffle joins on the (corpus, document id)
+    composite key (int64 siphash on both sides — identical to the broadcast
+    plan's key, so row resolution is identical). Assumes (corpus,
+    document_id) uniquely keys the documents side — the reference's own
+    invariant (dict insertion, transform_zeshel.py:49)."""
+    from ..stages.common import safe_join, scrub_empty_blocks
+
+    # NOTE on names: the join key must NOT be a name-prefix of the payload
+    # columns — Ray 2.49's join renames right-side columns that extend the
+    # key name (observed: key '__sk' turned payload '__sk_id' into
+    # '____sk_id'); '__ks' / '__src_*' never collide that way
+    def _docs_side(keyname: str, prefix: str):
+        def _m(t: pa.Table) -> pa.Table:
+            h, _ = _key_hash(t, "corpus", "document_id")
+            return pa.table({
+                keyname: pa.array(h),
+                f"__{prefix}_id": t["document_id"].cast(pa.string()),
+                f"__{prefix}_title": t["title"].cast(pa.string()),
+                f"__{prefix}_text": t["text"].cast(pa.string()),
+            })
+
+        return documents.map_batches(_m, batch_format="pyarrow")
+
+    def _mention_keys(t: pa.Table) -> pa.Table:
+        hs, _ = _key_hash(t, "corpus", "context_document_id")
+        hl, _ = _key_hash(t, "corpus", "label_document_id")
+        t = t.append_column("__ks", pa.array(hs))
+        return t.append_column("__kl", pa.array(hl))
+
+    keyed = mentions.map_batches(_mention_keys, batch_format="pyarrow")
+    j1 = safe_join(keyed, _docs_side("__ks", "src"), join_type="inner",
+                   num_partitions=npart, on=("__ks",)).materialize()
+    j2 = safe_join(j1, _docs_side("__kl", "lbl"), join_type="inner",
+                   num_partitions=npart, on=("__kl",))
+
+    def _finish_join(t: pa.Table) -> pa.Table:
+        out = t.drop_columns([c for c in t.column_names if c.startswith("__")])
+        for prefix, side in (("src", "src"), ("label", "lbl")):
+            out = out.append_column(
+                f"{prefix}_title", t[f"__{side}_title"].combine_chunks())
+            out = out.append_column(
+                f"{prefix}_text", t[f"__{side}_text"].combine_chunks())
+        for struct_name, side, prefix in (
+            ("source_document", "src", "src"), ("label_document", "lbl", "label"),
+        ):
+            out = out.append_column(struct_name, pa.StructArray.from_arrays(
+                [t[f"__{side}_id"].combine_chunks(),
+                 out[f"{prefix}_title"].combine_chunks(),
+                 out[f"{prefix}_text"].combine_chunks()],
+                names=["document_id", "title", "text"],
+            ))
+        return out
+
+    # join outputs can carry degenerate zero-column empty blocks (Ray 2.49);
+    # the scrub re-batches across blocks and drops them before the finisher
+    return scrub_empty_blocks(j2).map_batches(_finish_join, batch_format="pyarrow")
+
+
+def count_dropped(mentions, transformed) -> int:
+    """Mentions dropped by transform_mentions for referencing a missing
+    context or label document (the reference would KeyError instead)."""
+    return mentions.count() - transformed.count()
 
 
 def combine_entities(transformed, npart: int = 16):

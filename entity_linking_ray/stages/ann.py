@@ -69,12 +69,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
 
 
-def _emb_fixed_bin(emb32: np.ndarray) -> pa.Array:
-    """(n, d) float32 -> FixedSizeBinary(d*4) column from ONE buffer."""
-    n, d = emb32.shape
+def _emb_fixed_bin(emb: np.ndarray, dtype=np.float32) -> pa.Array:
+    """(n, d) floats -> FixedSizeBinary(d*itemsize) column from ONE buffer."""
+    n, d = emb.shape
+    w = np.dtype(dtype).itemsize
     return pa.Array.from_buffers(
-        pa.binary(d * 4), n,
-        [None, pa.py_buffer(np.ascontiguousarray(emb32, dtype=np.float32).tobytes())],
+        pa.binary(d * w), n,
+        [None, pa.py_buffer(np.ascontiguousarray(emb, dtype=dtype).tobytes())],
     )
 
 

@@ -129,6 +129,19 @@ def test_ngram_jaccard_plans_agree():
     )
 
 
+def test_embedding_near_dup_plans_agree():
+    """embedding_near_dup: broadcast cosine verify == embedding-join verify."""
+    from entity_linking_ray.pipelines.queries import q_embedding_near_dup
+
+    a = q_embedding_near_dup(SF).to_pandas()
+    b = q_embedding_near_dup(SF, broadcast_limit=0).to_pandas()
+    cols = ["vec_a", "vec_b"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
 def test_simhash_near_dup_plans_agree():
     """simhash_near_dup: broadcast sketch lookup == sketch hash-join plan."""
     from entity_linking_ray.pipelines.queries import q_simhash_near_dup

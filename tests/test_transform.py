@@ -76,6 +76,46 @@ def test_denormalization_matches_reference_fixture(raw_inputs, transformed):
                 assert got[side][f] == expected[side][f], (mid, side, f)
 
 
+def test_transform_plan_agreement(raw_inputs):
+    """The broadcast and join plans resolve identical rows (flat + struct)."""
+    mentions_path, doc_paths, names, _ = raw_inputs
+    mentions = read_mentions_json(mentions_path)
+    documents = read_documents_json(doc_paths, names)
+    a = transform_mentions(mentions, documents, plan="broadcast").take_all()
+    b = transform_mentions(mentions, documents, plan="join", npart=4).take_all()
+    ka = {r["mention_id"]: r for r in a}
+    kb = {r["mention_id"]: r for r in b}
+    assert set(ka) == set(kb) and len(ka) == 3
+    for mid in ka:
+        for col in ("src_title", "src_text", "label_title", "label_text",
+                    "source_document", "label_document", *RAW_FIELDS):
+            assert ka[mid][col] == kb[mid][col], (mid, col)
+
+
+def test_transform_drops_missing_docs(raw_inputs, tmp_path):
+    """A mention referencing an absent document is dropped (counted via
+    count_dropped), not crashed on — documented divergence from the
+    reference's KeyError."""
+    import json as _json
+
+    from entity_linking_ray.pipelines.transform import count_dropped
+
+    mentions_path, doc_paths, names, fixture = raw_inputs
+    bad = dict(next(iter(fixture.values())))
+    bad = {k: bad[k] for k in RAW_FIELDS}
+    bad["mention_id"] = "MISSING01"
+    bad["context_document_id"] = "nope_nope_nope_1"
+    p = tmp_path / "mentions_bad.jsonl"
+    with open(mentions_path) as f, open(p, "w") as g:
+        g.write(f.read())
+        g.write(_json.dumps(bad) + "\n")
+    mentions = read_mentions_json(str(p))
+    documents = read_documents_json(doc_paths, names)
+    out = transform_mentions(mentions, documents).materialize()
+    assert out.count() == 3
+    assert count_dropped(mentions, out) == 1
+
+
 def test_combine_entities_dedups_label_docs(raw_inputs, transformed):
     _, _, _, fixture = raw_inputs
     ents = combine_entities(transformed).materialize()
