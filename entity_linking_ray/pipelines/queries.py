@@ -1562,6 +1562,23 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(queries, emb, k=10, n_cells=8, n_probe=4)
 
 
+def q_ann_ivf_exhaustive(sf_dir: str):
+    """IVF with n_probe == n_cells: every query probes every cell, so the
+    plan is EXHAUSTIVE and must equal brute-force cosine top-k exactly —
+    which gives the IVF machinery (cell assignment, hash-exchange per-cell
+    kernels, per-query merge, tie-breaks) a full SQL oracle (the same O(n^2)
+    SQL as embedding_topk). The approximate operating point stays registered
+    as ann_ivf_topk (rows-only + recall test)."""
+    from ..stages.ann import ivf_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 20)), batch_format="pyarrow"
+    )
+    return ivf_topk(queries, emb, k=10, n_cells=8, n_probe=8,
+                    pack_dtype=np.float64)
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal binary-column pipeline: deterministic fake assets ->
     actor-pool decode -> resize plan (rows-only; decode itself is stubbed,
@@ -1700,6 +1717,78 @@ def q_cc_documents(sf_dir: str):
         })
 
     return out.map_batches(fill, batch_format="pyarrow")
+
+
+def q_linkage_exact_clusters(sf_dir: str):
+    """The flagship linkage pipeline's EXACT-DUP sub-path, made SQL-checkable:
+    corpus (documents + a planted byte-identical copy of every doc_id % 5 == 0
+    row) -> fingerprint -> exact_collapse (sha256 grouping + dup edges) ->
+    connected_components -> attach_clusters — the same stage objects
+    link_dataset runs, minus the non-SQL LSH/scoring section. Engine cluster
+    ids are min-node (sha1-derived, not SQL-reproducible), so each cluster is
+    relabeled to its min doc_id through a partitioned aggregate + hash join;
+    exact components == sha256 groups, so the oracle is one window function.
+    SURVEY.md D1/M4 (transform_zeshel.py:29-31) at the linkage level."""
+    from ..pipelines.linkage import attach_clusters
+    from ..stages.cluster import connected_components
+    from ..stages.common import partitioned_aggregate
+    from ..stages.exact import exact_collapse
+    from ..stages.fingerprint import fingerprint
+
+    cfg = LinkageConfig(shuffle_partitions=NPART)
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _corpus(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = t.column("text")
+        dup = np.flatnonzero(ids % 5 == 0)
+        ids_all = np.concatenate([ids, ids[dup]])
+        is_copy = np.concatenate([
+            np.zeros(len(ids), dtype=np.int64), np.ones(len(dup), dtype=np.int64)
+        ])
+        text_all = pa.concat_arrays([
+            text.combine_chunks(), text.combine_chunks().take(pa.array(dup))
+        ])
+        suffix = np.where(is_copy == 1, "_copy", "")
+        return pa.table({
+            "repo": pa.array(["docs"] * len(ids_all), type=pa.string()),
+            "path": pa.array([f"doc_{d}{s}.txt" for d, s in zip(ids_all, suffix)],
+                             type=pa.string()),
+            "commit": pa.array([format(int(d), "x") for d in ids_all],
+                               type=pa.string()),
+            "doc_id": pa.array(ids_all),
+            "is_copy": pa.array(is_copy),
+            "content": text_all,
+        })
+
+    corpus = docs.map_batches(_corpus, batch_format="pyarrow", zero_copy_batch=True)
+    feats = fingerprint(corpus).materialize()  # consumed 3x (collapse, slim, count)
+    _, _reps, exact_edges = exact_collapse(feats, cfg)
+    clusters = connected_components(exact_edges, cfg)
+    slim = feats.map_batches(
+        lambda t: t.select(["doc_id", "is_copy", "sha256", "node"]),
+        batch_format="pyarrow",
+    )
+    rows = attach_clusters(slim, clusters, cfg)
+
+    # relabel node-valued cluster ids to min(doc_id): a partitioned aggregate
+    # builds the (cluster -> rep doc) map, a hash join applies it
+    rep_map = partitioned_aggregate(
+        rows.map_batches(lambda t: t.select(["cluster", "doc_id"]),
+                         batch_format="pyarrow"),
+        ["cluster"], [("doc_id", "min", "cluster_rep")], NPART,
+    )
+    out = safe_join(rows, rep_map, join_type="inner",
+                    num_partitions=NPART, on=("cluster",))
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "is_copy": t["is_copy"],
+            "sha256": t["sha256"],
+            "cluster": t["cluster_rep"],
+        }),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2013,6 +2102,21 @@ ORACLE_SQL: dict[str, str] = {
             WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
         ) WHERE rank <= 10
     """,
+    # exhaustive IVF (n_probe == n_cells) == brute force: same oracle as
+    # embedding_topk — checks the IVF cell/exchange/merge machinery exactly
+    "ann_ivf_exhaustive": """
+        SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    """,
     "embedding_near_dup": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b
@@ -2104,6 +2208,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM ctx c, nd
         JOIN documents d ON d.doc_id = (c.doc_id * 7 + 3) % nd.n
     """,
+    "linkage_exact_clusters": """
+        WITH corpus AS (
+            SELECT doc_id, CAST(0 AS BIGINT) AS is_copy, text FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT) AS is_copy, text FROM documents
+            WHERE doc_id % 5 = 0
+        )
+        SELECT doc_id, is_copy, sha256(text) AS sha256,
+               min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster
+        FROM corpus
+    """,
     "cc_documents": """
         WITH RECURSIVE edges AS (
             SELECT a.doc_id AS u, b.doc_id AS v
@@ -2153,8 +2268,10 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "retrieval_rate": q_retrieval_rate,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "multimodal_decode": q_multimodal_decode,
     "tokenize_pad": q_tokenize_pad,
     "transform_mentions": q_transform_mentions,
     "cc_documents": q_cc_documents,
+    "linkage_exact_clusters": q_linkage_exact_clusters,
 }

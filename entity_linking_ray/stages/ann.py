@@ -145,14 +145,39 @@ def _kmeans_centroids(sample: np.ndarray, n_cells: int, seed: int, iters: int = 
     return cents
 
 
-def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int = 4,
+def autotune_ivf(n_cand: int, n_cells: int | None = None,
+                 n_probe: int | None = None) -> tuple[int, int]:
+    """Corpus-sized IVF defaults: ``n_cells ~ sqrt(n)`` (the standard IVF
+    operating point — per-cell scan cost and probe fan-out balance there),
+    power-of-two-rounded and clamped to [8, 4096]; ``n_probe = n_cells / 8``
+    (recall ~0.85-0.9 on the bench corpus). Explicit values pass through."""
+    if n_cells is None:
+        import math
+
+        target = max(1.0, math.sqrt(max(1, n_cand)))
+        n_cells = int(2 ** round(math.log2(target)))
+        n_cells = max(8, min(4096, n_cells))
+    if n_probe is None:
+        n_probe = max(2, n_cells // 8)
+    return n_cells, min(n_probe, n_cells)
+
+
+def ivf_topk(queries, candidates, k: int = 10, n_cells: int | None = 16,
+             n_probe: int | None = 4,
              id_col: str = "vec_id", emb_col: str = "embedding",
              exclude_self: bool = True, seed: int = 42, sample_rows: int = 20_000,
-             num_partitions: int = 16):
+             num_partitions: int = 16, pack_dtype=np.float32):
     """IVF approximate top-k: centroids from a seeded sample; candidates
     bucketed per cell; queries probe their n_probe nearest cells; per-cell
     local top-k merged per query bucket. Recall < 1.0 by design — tested
-    against the brute-force baseline.
+    against the brute-force baseline. ``n_cells``/``n_probe`` = None
+    autotunes from the candidate count (see autotune_ivf); ``n_probe ==
+    n_cells`` makes the plan EXHAUSTIVE — exactly equal to brute force
+    (oracle-checked as the ann_ivf_exhaustive query). ``pack_dtype``: wire
+    dtype for embeddings through the cell exchange — float32 (default)
+    halves the shuffle payload at ~1e-7 cosine error (fine approximate);
+    the exhaustive oracle-checked variant packs float64 so its 6-dp
+    rounding matches the DOUBLE-typed SQL.
     """
     # --- train coarse quantizer on a small DETERMINISTIC sample: rows whose
     # hashed id sorts lowest (block arrival order varies run-to-run under the
@@ -162,6 +187,7 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int =
     from .common import collect_projected
 
     n_cand = candidates.count()
+    n_cells, n_probe = autotune_ivf(n_cand, n_cells, n_probe)
     p = min(1.0, (sample_rows * 1.3) / max(1, n_cand))
     cut = np.uint64(min(int(p * 2**64), 2**64 - 1))
 
@@ -196,7 +222,7 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int =
             "cell": pa.array(cell),
             "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
             "vec": t[id_col].cast(pa.int64()),
-            "emb": _emb_fixed_bin(emb.astype(np.float32)),
+            "emb": _emb_fixed_bin(emb, dtype=pack_dtype),
         })
 
     cand_rows = candidates.map_batches(_assign, batch_format="pyarrow")
@@ -204,16 +230,16 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int =
     # --- query side: one probe row per (query, probed cell) ---
     def _probe(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        emb = _normalize(_list_matrix(t.column(emb_col))).astype(np.float32)
+        emb = _normalize(_list_matrix(t.column(emb_col)))
         qids = t.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(-(emb.astype(np.float64) @ c.T), axis=1, kind="stable")[:, :n_probe]
+        order = np.argsort(-(emb @ c.T), axis=1, kind="stable")[:, :n_probe]
         n, p = order.shape
         rep = np.repeat(np.arange(n), p)
         return pa.table({
             "cell": pa.array(order.ravel().astype(np.int64)),
             "__side": pa.array(np.ones(n * p, dtype=np.int8)),
             "vec": pa.array(np.repeat(qids.astype(np.int64), p)),
-            "emb": _emb_fixed_bin(emb[rep]),
+            "emb": _emb_fixed_bin(emb[rep], dtype=pack_dtype),
         })
 
     probe_rows = queries.map_batches(_probe, batch_format="pyarrow")
@@ -222,7 +248,7 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int =
     def _cell_topk(t: pa.Table) -> pa.Table:
         side = t.column("__side").to_numpy(zero_copy_only=False)
         vec = t.column("vec").to_numpy(zero_copy_only=False)
-        emb = _fixed_bin_matrix(t.column("emb")).astype(np.float64)
+        emb = _fixed_bin_matrix(t.column("emb"), dtype=pack_dtype).astype(np.float64)
         is_q = side == 1
         qids, qemb = vec[is_q], emb[is_q]
         cids, cemb = vec[~is_q], emb[~is_q]
@@ -246,8 +272,46 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int = 16, n_probe: int =
             "cos": pa.array(oc[keep]),
         })
 
-    local = cand_rows.union(probe_rows).groupby("cell").map_groups(
-        lambda t: _cell_topk(t.drop_columns(["cell"])), batch_format="pyarrow"
+    # cells route through the manual hash_exchange (int bucket = cell % P):
+    # Ray's groupby physically range-sorts where a bincount split suffices
+    # (measured ~4x on int keys, stages/common.py); each reduce task walks
+    # its bucket's cell segments with one argsort and runs the vectorized
+    # per-cell kernel per segment — Python cost is bounded by n_cells total,
+    # not by Ray's per-group dispatch. Payload note: the exchange holds the
+    # (emb fixed-bin) rows in plasma without backpressure — ~0.5 KB/row at
+    # d=128, so a 10^6-row corpus stages ~0.5 GB; past that raise
+    # num_partitions with node count (object count scales with P).
+    from .common import hash_exchange
+
+    P = max(2, min(num_partitions, n_cells))
+
+    def _with_part(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array((cell % P).astype(np.int64))
+        )
+
+    def _bucket_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "cos": pa.array([], type=pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        order = np.argsort(cell, kind="stable")
+        ts = t.take(pa.array(order)).drop_columns(["cell"])
+        cs = cell[order]
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [cs.shape[0]]])
+        outs = [_cell_topk(ts.slice(s, e - s)) for s, e in zip(starts, ends)]
+        return pa.concat_tables(outs) if outs else empty
+
+    local = hash_exchange(
+        cand_rows.union(probe_rows).map_batches(_with_part, batch_format="pyarrow"),
+        "__part", P, _bucket_topk,
     )
 
     # --- merge per query: hash-bucketed, one lexsort+segment kernel per bucket ---

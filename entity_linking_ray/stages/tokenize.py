@@ -42,17 +42,78 @@ _SPECIAL = {
     "[unused1]": MENTION_END_ID,
     "[unused2]": ENT_TITLE_ID,
     "|": ENT_TITLE_ID,  # roberta-style entity title separator (zeshel_dataset.py:99)
+    # RoBERTa/DeCLUTR-family specials map onto the same reserved id slots
+    # (the reference swaps the token STRINGS per family, enums.py:4-7 +
+    # zeshel_dataset.py:39-48; the id-slot layout is ours)
+    "<s>": CLS_ID,
+    "</s>": SEP_ID,
+    "<pad>": PAD_ID,
 }
+
+
+class BaseModelType:
+    """The reference's closed model-family enum (enums.py:4-7), dispatched in
+    its tokenizer factory (tokenization.py:6-15) and special-token selection
+    (zeshel_dataset.py:39-48)."""
+
+    BERT_BASE = "BERT_BASE"
+    ROBERTA_BASE = "ROBERTA_BASE"
+    DECLUTR_BASE = "DECLUTR_BASE"
+    ALL = (BERT_BASE, ROBERTA_BASE, DECLUTR_BASE)
+
+
+# per-family special-token STRINGS, exactly zeshel_dataset.py:39-48: BERT
+# wraps mentions in [unused0]/[unused1] (constants.py:1-3) and uses
+# [CLS]/[SEP]/[PAD]; the RoBERTa families wrap mentions in '|' and use
+# <s>/</s>/<pad>
+_FAMILY_TOKENS = {
+    BaseModelType.BERT_BASE: {
+        "cls": "[CLS]", "sep": "[SEP]", "pad": "[PAD]",
+        "mention_start": "[unused0]", "mention_end": "[unused1]",
+    },
+    BaseModelType.ROBERTA_BASE: {
+        "cls": "<s>", "sep": "</s>", "pad": "<pad>",
+        "mention_start": "|", "mention_end": "|",
+    },
+    BaseModelType.DECLUTR_BASE: {
+        "cls": "<s>", "sep": "</s>", "pad": "<pad>",
+        "mention_start": "|", "mention_end": "|",
+    },
+}
+
+
+def get_tokenizer(base_model_type: str, vocab_size: int = 30000,
+                  seq_len: int = 64) -> "HashTokenizer":
+    """Tokenizer factory keyed by the model-family enum — the analog of
+    tokenization.py:6-15 (which loads the matching HF vocab per family; here
+    every family shares the deterministic vocab-hash id function and differs
+    in its special-token strings, like the reference's special-token
+    placement tests require, test/test_zeshel_dataset.py:26-60)."""
+    if base_model_type not in BaseModelType.ALL:
+        raise RuntimeError(f"Invalid base model type: {base_model_type}")
+    return HashTokenizer(vocab_size=vocab_size, seq_len=seq_len,
+                         base_model_type=base_model_type)
 
 
 class HashTokenizer:
     """Deterministic vocab-hash tokenizer: word -> id in [N_SPECIAL, vocab)."""
 
-    def __init__(self, vocab_size: int = 30000, seq_len: int = 64):
+    def __init__(self, vocab_size: int = 30000, seq_len: int = 64,
+                 base_model_type: str = BaseModelType.BERT_BASE):
         assert vocab_size > N_SPECIAL
         self.vocab_size = vocab_size
         self.seq_len = seq_len
         self._slots = vocab_size - N_SPECIAL
+        self.base_model_type = base_model_type
+        toks = _FAMILY_TOKENS[base_model_type]
+        self.cls_token = toks["cls"]
+        self.sep_token = toks["sep"]
+        self.pad_token = toks["pad"]
+        self.mention_start_tag = toks["mention_start"]
+        self.mention_end_tag = toks["mention_end"]
+        self.cls_id = _SPECIAL[self.cls_token]
+        self.sep_id = _SPECIAL[self.sep_token]
+        self.pad_id = _SPECIAL[self.pad_token]
 
     def token_id(self, word: str) -> int:
         sp = _SPECIAL.get(word)
@@ -61,20 +122,58 @@ class HashTokenizer:
         h = int(hashlib.md5(word.encode("utf-8", "surrogatepass")).hexdigest()[:8], 16)
         return N_SPECIAL + h % self._slots
 
+    def convert_ids_to_tokens(self, ids) -> list[str]:
+        """Inverse mapping for the reserved id slots, rendered with THIS
+        family's token strings (the reference analog is the HF tokenizer's
+        same-named method, used by its placement tests,
+        test/test_zeshel_dataset.py:28-60). Vocab-hash ids are not invertible;
+        they render as ``tok_<id>`` placeholders."""
+        rev = {
+            self.cls_id: self.cls_token,
+            self.sep_id: self.sep_token,
+            self.pad_id: self.pad_token,
+            MENTION_START_ID: self.mention_start_tag,
+            MENTION_END_ID: self.mention_end_tag,
+            ENT_TITLE_ID: "|",
+        }
+        return [rev.get(int(i), f"tok_{int(i)}") for i in ids]
+
     def encode_pad(self, words: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """words -> (input_ids, attention_mask), both int32 of len seq_len.
 
         Exactly zeshel_dataset.py:77-90: truncate to seq_len - 2, wrap with
-        [CLS]/[SEP], mask 1 over real tokens, pad with PAD_ID / 0.
+        cls/sep, mask 1 over real tokens, pad with the pad id / 0. The
+        family's cls/sep/pad STRINGS differ but map to the same reserved id
+        slots, so the encoded ids (and the SQL oracle) are family-invariant.
         """
-        core = [CLS_ID] + [self.token_id(w) for w in words[: self.seq_len - 2]] + [SEP_ID]
+        core = [self.cls_id] + [self.token_id(w) for w in words[: self.seq_len - 2]] + [self.sep_id]
         n = len(core)
         assert n <= self.seq_len  # the reference's :85/:109 assert
-        ids = np.full(self.seq_len, PAD_ID, dtype=np.int32)
+        ids = np.full(self.seq_len, self.pad_id, dtype=np.int32)
         ids[:n] = core
         mask = np.zeros(self.seq_len, dtype=np.int32)
         mask[:n] = 1
         return ids, mask
+
+    def encode_mention(self, text: str, start_index: int, end_index: int,
+                       context_size: int = 32) -> tuple[np.ndarray, np.ndarray]:
+        """Mention-in-context encode (zeshel_dataset.py:62-90): window the
+        mention with THIS family's start/end marker tags, then wrap/pad."""
+        from ..functions.window import mention_context_window
+
+        words = mention_context_window(
+            text, start_index, end_index, context_size=context_size,
+            start_tag=self.mention_start_tag, end_tag=self.mention_end_tag,
+        )
+        return self.encode_pad(words)
+
+    def encode_entity(self, title: str, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Entity encode (zeshel_dataset.py:93-109): lowercase title + '|' +
+        text, truncated to seq_len - 2, then wrap/pad."""
+        from ..functions.window import entity_text_compose
+
+        words = entity_text_compose(title, text, max_words=self.seq_len - 2)
+        return self.encode_pad(words)
 
     def encode_pad_batch(self, word_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
         """(n, seq_len) id + mask matrices for a batch of word lists."""

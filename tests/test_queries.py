@@ -76,6 +76,30 @@ def test_entry_smoke():
     assert "cluster" in df.columns and "sha256" in df.columns
 
 
+def test_linkage_exact_clusters_refine_flagship():
+    """Every exact (sha256) component from the SQL-checkable exact-clusters
+    query lies wholly inside ONE flagship linkage cluster on the driver
+    corpus — the flagship may merge further (near-dups), never split an
+    exact component."""
+    import collections
+
+    import __ray_entry__ as em
+    from entity_linking_ray.pipelines.queries import q_linkage_exact_clusters
+
+    exact = q_linkage_exact_clusters(SF).to_pandas()
+    flag = em.queries()["linkage_clusters"](SF).to_pandas()
+    flag_by_sha = collections.defaultdict(set)
+    for sha, cl in zip(flag["sha256"], flag["cluster"]):
+        flag_by_sha[sha].add(cl)
+    # group exact rows by their exact component; all members' shas must map
+    # to the same single flagship cluster
+    for comp, grp in exact.groupby("cluster"):
+        clusters = set()
+        for sha in grp["sha256"]:
+            clusters |= flag_by_sha[sha]
+        assert len(clusters) == 1, (comp, clusters)
+
+
 def test_anti_join_plans_agree():
     """customers_without_orders: the broadcast plan and the forced
     hash-shuffle anti-join plan return identical rows."""

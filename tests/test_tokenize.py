@@ -88,3 +88,65 @@ def test_tokenize_pad_stage_flat_layout(ray_session):
     empty = out[out.doc_id == 2]
     assert empty.token_id.tolist()[:2] == [CLS_ID, SEP_ID]
     assert empty["mask"].tolist() == [1, 1, 0, 0, 0, 0]
+
+
+def test_special_token_placement_per_family():
+    """Reproduces the reference's placement invariants for all three model
+    families (test/test_zeshel_dataset.py:26-60): mention inputs start with
+    the family's cls token and, for a short context, end with its pad token;
+    entity inputs (long text, budget exhausted) start with cls and end with
+    sep. BERT wraps mentions in [unused0]/[unused1]; the RoBERTa families
+    wrap in '|' (zeshel_dataset.py:39-48)."""
+    from entity_linking_ray.stages.tokenize import BaseModelType, get_tokenizer
+
+    text = "the quick brown fox jumps over the lazy dog"
+    long_entity_text = " ".join(f"word{i}" for i in range(200))
+    expect = {
+        BaseModelType.BERT_BASE: ("[CLS]", "[SEP]", "[PAD]", "[unused0]", "[unused1]"),
+        BaseModelType.ROBERTA_BASE: ("<s>", "</s>", "<pad>", "|", "|"),
+        BaseModelType.DECLUTR_BASE: ("<s>", "</s>", "<pad>", "|", "|"),
+    }
+    for family, (cls, sep, pad, mstart, mend) in expect.items():
+        tok = get_tokenizer(family, seq_len=32)
+        m_ids, m_mask = tok.encode_mention(text, 2, 3, context_size=16)
+        m_toks = tok.convert_ids_to_tokens(m_ids)
+        assert m_toks[0] == cls, (family, m_toks[0])
+        assert m_toks[-1] == pad, (family, m_toks[-1])
+        assert mstart in m_toks and mend in m_toks
+        # mention words sit between the markers
+        i0 = m_toks.index(mstart)
+        assert m_toks[i0 + 1] == f"tok_{tok.token_id('brown')}"
+        e_ids, e_mask = tok.encode_entity("Fox", long_entity_text)
+        e_toks = tok.convert_ids_to_tokens(e_ids)
+        assert e_toks[0] == cls, (family, e_toks[0])
+        assert e_toks[-1] == sep, (family, e_toks[-1])
+        assert int(e_mask.sum()) == tok.seq_len  # no padding: text fills budget
+        assert int(m_mask[0]) == 1 and int(m_mask[-1]) == 0
+
+
+def test_family_invariant_ids():
+    """The families differ only in token STRINGS; the encoded id matrices are
+    identical (shared reserved id slots + shared vocab-hash), so tokenize_pad's
+    SQL oracle is family-invariant."""
+    import numpy as np
+
+    from entity_linking_ray.stages.tokenize import BaseModelType, get_tokenizer
+
+    words = "Alpha beta gamma delta".lower().split()
+    mats = []
+    for family in BaseModelType.ALL:
+        tok = get_tokenizer(family, seq_len=12)
+        ids, mask = tok.encode_pad(words)
+        mats.append((ids, mask))
+    for ids, mask in mats[1:]:
+        assert np.array_equal(ids, mats[0][0])
+        assert np.array_equal(mask, mats[0][1])
+
+
+def test_get_tokenizer_rejects_unknown_family():
+    import pytest
+
+    from entity_linking_ray.stages.tokenize import get_tokenizer
+
+    with pytest.raises(RuntimeError, match="Invalid base model type"):
+        get_tokenizer("GPT2_BASE")
