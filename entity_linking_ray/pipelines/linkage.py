@@ -132,9 +132,12 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
         from ..stages.scoring import prepare_score_pack
 
         # blocking reads only (node, sig) from the rep rows — projecting at
-        # the rep filter keeps the emb/tokseq payloads out of that copy
-        _tagged, reps, exact_edges = exact_collapse(
-            feats, cfg, rep_cols=("node", "sig")
+        # the rep filter keeps the emb/tokseq payloads out of that copy; the
+        # broadcast plan also hands back the filter itself so blocking can
+        # fuse it into its exchange split tasks (zero intermediate writes
+        # between the materialized feature blocks and the band shards)
+        _tagged, reps, exact_edges, rep_filter = exact_collapse(
+            feats, cfg, rep_cols=("node", "sig"), return_rep_filter=True
         )
         # launch the scoring broadcast-pack build NOW: it depends only on
         # feats, so its pack/sort tasks overlap the whole blocking section
@@ -147,7 +150,11 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
         # pairs are compact (24 B/row); pinning lets us cheaply detect the
         # no-candidates case — a zero-block dataset entering a hash join
         # loses its schema and crashes acero with 0-column partitions
-        pairs = lsh_candidate_pairs(reps, cfg).materialize()
+        pairs = (
+            lsh_candidate_pairs(feats, cfg, pre_filter=rep_filter)
+            if rep_filter is not None
+            else lsh_candidate_pairs(reps, cfg)
+        ).materialize()
         if pairs.count() == 0:
             return filter_edges(exact_edges, cfg)
         lsh_edges = score_edges(pairs, feats, cfg, pack=pack)

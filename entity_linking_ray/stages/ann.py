@@ -310,8 +310,7 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int | None = 16,
         return pa.concat_tables(outs) if outs else empty
 
     local = hash_exchange(
-        cand_rows.union(probe_rows).map_batches(_with_part, batch_format="pyarrow"),
-        "__part", P, _bucket_topk,
+        cand_rows.union(probe_rows), "__part", P, _bucket_topk, pre=_with_part,
     )
 
     # --- merge per query: hash-bucketed, one lexsort+segment kernel per bucket ---

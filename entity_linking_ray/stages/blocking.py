@@ -246,7 +246,7 @@ def _pairs_kernel(k, n, cap):
     return n[earlier], n[later], k[later]  # id-sorted => src < dst
 
 
-def lsh_candidate_pairs(reps, cfg: LinkageConfig):
+def lsh_candidate_pairs(reps, cfg: LinkageConfig, pre_filter=None):
     """Fused single-shuffle blocking: band explode → per-partition
     stats + salting + pair generation → cross-band pair dedup.
 
@@ -271,11 +271,20 @@ def lsh_candidate_pairs(reps, cfg: LinkageConfig):
     """
     P = cfg.shuffle_partitions
 
-    band_rows = reps.map_batches(
-        lambda t: explode_bands_parted(t, cfg, P),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    # the band explode is FUSED into the exchange's split tasks (``pre``):
+    # rep blocks are read zero-copy from plasma and the first bytes written
+    # are the 16-byte band shards themselves — the tagged 24-byte band rows
+    # (~bands x reps) are never materialized as an intermediate write wave.
+    # ``pre_filter`` (Table -> rep rows, from exact_collapse's broadcast
+    # plan) fuses the rep projection+filter in as well: ``reps`` is then the
+    # RAW feature dataset and not even the (node, sig) rep rows are written —
+    # the split tasks mmap the materialized feature blocks directly.
+    band_rows = reps
+
+    def _explode_pre(t: pa.Table) -> pa.Table:
+        if pre_filter is not None:
+            t = pre_filter(t)
+        return explode_bands_parted(t, cfg, P)
 
     if cfg.pair_plan == "blocks":
         # block-descriptor plan: near-identical files form the SAME member
@@ -291,6 +300,7 @@ def lsh_candidate_pairs(reps, cfg: LinkageConfig):
             lambda t: part_block_descs(t, cfg, P),
             col2="__p2",
             kernel2=lambda t: expand_block_descs(t, cfg, P),
+            pre=_explode_pre,
         )
         deduped = hash_exchange(pairs, "__p3", P, _dedup_min_band)
     else:
@@ -300,6 +310,7 @@ def lsh_candidate_pairs(reps, cfg: LinkageConfig):
             band_rows, "__part", P,
             lambda t: part_pairs(t, cfg, P),
             col2="__p2", kernel2=_dedup_min_band,
+            pre=_explode_pre,
         )
     return scrub_empty_blocks(deduped)
 
@@ -626,8 +637,8 @@ def bucketed_pairs(rows, key_col: str, id_col: str, cap: int, num_partitions: in
 
     deduped = scrub_empty_blocks(
         hash_exchange(
-            rows.map_batches(_add_part, batch_format="pyarrow"),
-            "__part", P, _bucket_pairs, col2="__p2", kernel2=_dedup_min_band,
+            rows, "__part", P, _bucket_pairs,
+            col2="__p2", kernel2=_dedup_min_band, pre=_add_part,
         )
     )
     return deduped.map_batches(

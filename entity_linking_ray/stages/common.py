@@ -83,6 +83,10 @@ def _concat_shards(tabs):
     column-order drift between blocks."""
     import pyarrow as pa
 
+    # streamed ref bundles hand over RAW blocks (no to_arrow_refs conversion
+    # pass); every pipeline here emits Arrow, but a caller feeding a pandas-
+    # formatted dataset still gets correct results
+    tabs = [t if isinstance(t, pa.Table) else pa.Table.from_pandas(t) for t in tabs]
     live = [t for t in tabs if t.num_rows]
     if not live:
         # all empty: keep the widest schema so downstream column refs survive
@@ -94,8 +98,12 @@ def _concat_shards(tabs):
     return pa.concat_tables(live)
 
 
-def _exch_split(col, P, *tabs):
+def _exch_split(col, P, pre, *tabs):
     t = _concat_shards(tabs)
+    # all-degenerate empties (0-column blocks from union/join outputs) carry
+    # no schema for ``pre`` to read — skip straight to the no-rows route
+    if pre is not None and t.num_columns > 0:
+        t = pre(t)
     if col not in t.column_names:  # all-degenerate empties: no rows to route
         return [t] * P
     return _split_by(t, col, P)
@@ -108,10 +116,19 @@ def _exch_reduce(kernel, col2, P, *shards):
     return _split_by(out, col2, P)
 
 
-def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4):
+def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4,
+                  pre=None):
     """Manual hash exchange: split every block by the int bucket column
     ``col`` (values in [0, P)), one reduce task per bucket runs
     ``kernel(concat_of_its_shards)``. Returns a Dataset of the reduce outputs.
+
+    ``pre`` (Table -> Table, must emit ``col``) runs INSIDE each split task on
+    the concatenated raw input blocks. Fusing the part-tagging / explode /
+    projection map into the split wave removes one full plasma write of the
+    exchange rows: ``ds.map_batches(add_part)`` would write every tagged row
+    to the object store only for the split task to re-read it — with ``pre``
+    the split task reads the (zero-copy) upstream blocks directly and the
+    first bytes written are the shards themselves.
 
     ~4x faster than ``groupby(part).map_groups`` on compact rows: Ray's
     groupby physically RANGE-SORTS (boundary sampling + per-block sort + merge
@@ -133,17 +150,29 @@ def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4):
     Multi-node note: object count is ``ceil(blocks / refs_per_task) * P``;
     raise ``refs_per_task`` when fanning out to hundreds of partitions so the
     object-store metadata stays bounded.
+
+    The input blocks are consumed as a STREAM (``iter_internal_ref_bundles``),
+    so split tasks launch while the upstream map wave is still producing
+    blocks — the split wave overlaps the producing stage's tail instead of
+    draining the whole pipeline first (the reduce wave is a true barrier
+    either way: every bucket needs every block's shard).
     """
     import ray
     import ray.data
 
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return ds
     split_t = ray.remote(num_cpus=1)(_exch_split)
     red_t = ray.remote(num_cpus=1)(_exch_reduce)
+
     if P == 1:
-        def _k1(t, _kernel=kernel, _col=col):
+        refs = []
+        for bundle in ds.iter_internal_ref_bundles():
+            refs.extend(bundle.block_refs)
+        if not refs:
+            return ds
+
+        def _k1(t, _kernel=kernel, _col=col, _pre=pre):
+            if _pre is not None:
+                t = _pre(t)
             return _kernel(t.drop_columns([_col]) if _col in t.column_names else t)
 
         one = red_t.remote(_k1, None, 1, *refs)
@@ -153,8 +182,19 @@ def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4):
 
             one = red_t.remote(_k2, None, 1, one)
         return ray.data.from_arrow_refs([one])
-    groups = [refs[i : i + refs_per_task] for i in range(0, len(refs), refs_per_task)]
-    shards = [split_t.options(num_returns=P).remote(col, P, *g) for g in groups]
+
+    shards = []
+    group: list = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref in bundle.block_refs:
+            group.append(ref)
+            if len(group) >= refs_per_task:
+                shards.append(split_t.options(num_returns=P).remote(col, P, pre, *group))
+                group = []
+    if group:
+        shards.append(split_t.options(num_returns=P).remote(col, P, pre, *group))
+    if not shards:
+        return ds
     if col2 is None:
         outs = [
             red_t.remote(kernel, None, P, *[s[p] for s in shards]) for p in range(P)
@@ -233,10 +273,7 @@ def partitioned_aggregate(ds, keys, aggs, num_partitions: int, part_from=None):
         cols = [rename.get(c, c) for c in out.column_names]
         return out.rename_columns(cols)
 
-    return hash_exchange(
-        ds.map_batches(_add_part, batch_format="pyarrow"),
-        "__part", num_partitions, _agg_part,
-    )
+    return hash_exchange(ds, "__part", num_partitions, _agg_part, pre=_add_part)
 
 
 def bucketed_map_groups(ds, key_cols, kernel, num_partitions: int, part_from=None):
@@ -272,10 +309,7 @@ def bucketed_map_groups(ds, key_cols, kernel, num_partitions: int, part_from=Non
             "__part", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
         )
 
-    return hash_exchange(
-        ds.map_batches(_add_part, batch_format="pyarrow"),
-        "__part", num_partitions, kernel,
-    )
+    return hash_exchange(ds, "__part", num_partitions, kernel, pre=_add_part)
 
 
 def safe_join(left, right, join_type: str, num_partitions: int, on, right_on=None):

@@ -121,8 +121,9 @@ def _exact_reduce(*tabs):
     return edges, np.sort(rep[~dup])  # reps == unique, sorted
 
 
-def exact_collapse(features, cfg: LinkageConfig, rep_cols=None):
-    """features -> (tagged, reps, exact_edges).
+def exact_collapse(features, cfg: LinkageConfig, rep_cols=None,
+                   return_rep_filter: bool = False):
+    """features -> (tagged, reps, exact_edges[, rep_filter]).
 
     - tagged: features + ``rep_node`` — ONLY on the join (scale) plan; the
       broadcast plan returns None (nothing downstream needs it)
@@ -132,6 +133,12 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None):
       when the caller only consumes a slice of the rep rows (linkage's
       blocking reads just node+sig), projecting first keeps the multi-100-MB
       emb/tokseq payloads out of the filter's plasma copy entirely.
+    - return_rep_filter: also return the block-level project+filter callable
+      (Table -> Table) behind ``reps`` so a downstream exchange can FUSE it
+      into its split tasks and read the feature blocks zero-copy with no
+      intermediate rep-row write at all. Broadcast plan only — the scale
+      plan's reps come out of a hash join, so the fourth element is None
+      (callers fall back to consuming the ``reps`` dataset).
     """
     import ray
     import ray.data
@@ -149,6 +156,8 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None):
             "node": pa.array([], type=pa.int64()),
             "rep_node": pa.array([], type=pa.int64()),
         })))
+        if return_rep_filter:
+            return None, features, empty_edges, None
         return None, features, empty_edges
 
     from .common import effective_broadcast_rows
@@ -181,6 +190,8 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None):
             return t.filter(pa.array(rn[idx] == nd))
 
         reps = features.map_batches(_is_rep, batch_format="pyarrow", zero_copy_batch=True)
+        if return_rep_filter:
+            return None, reps, exact_edges, _is_rep
         return None, reps, exact_edges
 
     # scale plan: ONE hash shuffle of the packed rows -> (rep_node, node)
@@ -226,4 +237,6 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None):
         return t.drop_columns(["rep_node"]) if rep_cols is not None else t
 
     reps = tagged.map_batches(_rep_filter, batch_format="pyarrow")
+    if return_rep_filter:
+        return tagged, reps, exact_edges, None
     return tagged, reps, exact_edges
