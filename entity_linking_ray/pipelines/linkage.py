@@ -122,7 +122,10 @@ def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str |
     import dataclasses
 
     n_rows = feats.count()
-    eff_parts = max(4, min(cfg.shuffle_partitions, -(-n_rows // 20_000)))
+    # 10k rows/partition: at the 375k bench corpus this reaches the full
+    # 32-CPU cap (20k capped reduce parallelism at 19 of 32 slots — the
+    # exchange reduce wave was the stage pinning 8->32 scaling)
+    eff_parts = max(4, min(cfg.shuffle_partitions, -(-n_rows // 10_000)))
     cfg = dataclasses.replace(cfg, shuffle_partitions=eff_parts)
 
     def _edges():

@@ -315,7 +315,11 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
             "block_key": pa.array(batch.column("block_key").to_numpy(zero_copy_only=False)[keep]),
         })
 
-    return pairs.map_batches(_score, batch_format="pyarrow", batch_size=65536)
+    # 32k pairs/batch: the per-batch overhead (two searchsorted probes into
+    # the broadcast index) is negligible, and halving the batch doubles the
+    # scoring task count — 1.2M bench pairs yield ~38 tasks, enough to fill
+    # 32 slots instead of capping at 19
+    return pairs.map_batches(_score, batch_format="pyarrow", batch_size=32768)
 
 
 def score_edges(pairs, features, cfg: LinkageConfig, pack=None):
