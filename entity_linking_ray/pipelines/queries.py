@@ -89,24 +89,36 @@ def q_pricing_summary(sf_dir: str):
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
-    def add_cents(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combine: the group key has ~6 distinct values, so each
+        # block collapses to <=6 rows BEFORE the all-to-all — Ray's hash
+        # aggregate then shuffles ~6 x blocks partial rows, not every
+        # lineitem row (the regression watch in VERDICT r2 #8: this stage
+        # shipped the full 6M-row projection through the aggregate)
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({
+        cents = pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
             "qty_c": _cents(t["l_quantity"]),
             "price_c": _cents(t["l_extendedprice"]),
             "disc_c": _cents(disc),
         })
+        g = cents.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"),
+             ("qty_c", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_c", "cnt"]
+        )
 
     out = (
-        ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty_c", alias_name="qty_c"),
             Sum("price_c", alias_name="price_c"),
             Sum("disc_c", alias_name="disc_c"),
-            Count(alias_name="count_order"),
+            Sum("cnt", alias_name="count_order"),
         )
     )
 

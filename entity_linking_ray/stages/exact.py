@@ -92,6 +92,28 @@ def _pack_group(*tabs) -> pa.Table:
     return pa.concat_tables(packed)
 
 
+def _exact_split(P: int, t: pa.Table):
+    """Packed rows -> P bucket slices by ``k0 % P`` (k0 is one 63-bit word of
+    the sha digest — uniform). Any sha's rows land in exactly one bucket, so
+    the per-bucket reduce's per-sha min is exact."""
+    k0 = t.column("k0").to_numpy().astype(np.uint64)
+    part = (k0 % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    ts = t.take(pa.array(order))
+    counts = np.bincount(part[order], minlength=P)
+    offs = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return [ts.slice(offs[i], counts[i]) for i in range(P)]
+
+
+def _merge_reps(*rep_arrays):
+    """P per-bucket sorted rep arrays -> one sorted broadcast array (tiny:
+    8 B per distinct sha)."""
+    if not rep_arrays:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(rep_arrays))
+
+
 def _exact_reduce(*tabs):
     """Remote reduce: packed (k0..k3, node) shards -> (exact-edge table,
     sorted rep-node array). One lexsort + segment pass; returned via
@@ -102,6 +124,14 @@ def _exact_reduce(*tabs):
         for c in ("k0", "k1", "k2", "k3")
     ]
     node = np.concatenate([t.column("node").to_numpy() for t in tabs])
+    if node.shape[0] == 0:  # empty bucket (sharded plan, tiny corpora)
+        return (
+            _edges_from_tagged(pa.table({
+                "rep_node": pa.array([], type=pa.int64()),
+                "node": pa.array([], type=pa.int64()),
+            })),
+            np.empty(0, dtype=np.int64),
+        )
     order = np.lexsort((node, ks[3], ks[2], ks[1], ks[0]))
     node_s = node[order]
     first = np.empty(node_s.shape[0], dtype=bool)
@@ -163,18 +193,28 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None,
     from .common import effective_broadcast_rows
 
     if n_rows <= effective_broadcast_rows(cfg.broadcast_feature_rows):
-        # fully remote broadcast plan: per-block-group pack tasks feed ONE
-        # reduce that computes the per-sha min-node mapping, the dup-edge
-        # table and the sorted rep-node set — the driver only holds the
-        # ObjectRefs and never blocks. (The previous driver-side
-        # collect+lexsort held a flat ~2.3 s constant in num_cpus.)
+        # fully remote broadcast plan: per-block-group pack tasks feed a
+        # SHARDED reduce — each packed group is bucket-split on k0 % P and P
+        # reduce tasks compute their buckets' per-sha min-node mapping,
+        # dup-edge table and sorted rep set in parallel; a tiny merge task
+        # concatenates the rep arrays (8 B per distinct sha) into the single
+        # sorted broadcast array. The driver only holds ObjectRefs and never
+        # blocks. (A single monolithic reduce re-faulting every packed page
+        # ran at ~30 MB/s under this host's THP stalls — 5-7 s of critical
+        # path at 10^6 rows, constant in num_cpus.)
         refs = features.to_arrow_refs()
+        P = max(2, min(cfg.shuffle_partitions, -(-n_rows // 100_000)))
         pack_t = ray.remote(num_cpus=1)(_pack_group)
+        split_t = ray.remote(num_cpus=1, num_returns=P)(_exact_split)
+        red_t = ray.remote(num_cpus=1, num_returns=2)(_exact_reduce)
         groups = [refs[i: i + 8] for i in range(0, len(refs), 8)]
         packed = [pack_t.remote(*g) for g in groups]
-        red_t = ray.remote(num_cpus=1, num_returns=2)(_exact_reduce)
-        edges_ref, nref = red_t.remote(*packed)
-        exact_edges = ray.data.from_arrow_refs([edges_ref])
+        shards = [split_t.remote(P, p) for p in packed]
+        if P == 1:
+            shards = [[s] for s in shards]  # num_returns=1 yields a bare ref
+        per = [red_t.remote(*[s[i] for s in shards]) for i in range(P)]
+        nref = ray.remote(num_cpus=1)(_merge_reps).remote(*[r for _, r in per])
+        exact_edges = ray.data.from_arrow_refs([e for e, _ in per])
 
         def _is_rep(t: pa.Table) -> pa.Table:
             if rep_cols is not None:

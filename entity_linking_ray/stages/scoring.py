@@ -149,124 +149,121 @@ def _binary_blob(col) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(blobs), np.concatenate(lens)
 
 
-def _pack_features(t: pa.Table) -> pa.Table:
-    """One row per input batch: each feature column flattened to a single
-    binary blob (sig/emb are fixed-width; tokseq carries its lengths)."""
-    nodes = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-    sig_blob, _ = _binary_blob(t.column("sig"))
-    emb_blob, _ = _binary_blob(t.column("emb"))
-    tok_blob, tok_lens = _binary_blob(t.column("tokseq"))
-    return pa.table({
-        "nodes": pa.array([nodes.tobytes()], type=pa.large_binary()),
-        "sig": pa.array([sig_blob.tobytes()], type=pa.large_binary()),
-        "emb": pa.array([emb_blob.tobytes()], type=pa.large_binary()),
-        "tok_blob": pa.array([tok_blob.tobytes()], type=pa.large_binary()),
-        "tok_lens": pa.array([tok_lens.tobytes()], type=pa.large_binary()),
-    })
+def _shard_arrays(num_perm: int, embed_dim: int, *tabs):
+    """Remote pack task: a group of feature blocks -> ONE plasma shard of
+    contiguous numpy arrays (nodes, sig matrix, emb matrix, tok blob, tok
+    starts, tok lens), assembled via zero-copy Arrow buffer access.
+
+    The shards ARE the broadcast pack: no monolithic reduce ever concatenates
+    them. A single build task re-copying ~GB of plasma pages ran at ~30 MB/s
+    on this host (THP page-fault stalls are per-process and serial), turning
+    the pack build into a 30-40 s critical-path stall on the 1.1M-file
+    corpus, while the same bytes faulted across parallel pack tasks take ~2 s.
+    Scoring tasks gather per shard (see _score_edges_broadcast)."""
+    live = [t for t in tabs if t.num_rows]
+    nodes = (np.concatenate([
+        t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        for t in live
+    ]) if live else np.empty(0, dtype=np.int64))
+    sig_blob = (np.concatenate([_binary_blob(t.column("sig"))[0] for t in live])
+                if live else np.empty(0, dtype=np.uint8))
+    emb_blob = (np.concatenate([_binary_blob(t.column("emb"))[0] for t in live])
+                if live else np.empty(0, dtype=np.uint8))
+    toks = [_binary_blob(t.column("tokseq")) for t in live]
+    tok_blob = (np.concatenate([b for b, _ in toks])
+                if toks else np.empty(0, dtype=np.uint8))
+    tok_lens = (np.concatenate([l for _, l in toks])
+                if toks else np.empty(0, dtype=np.int64))
+    tok_starts = np.zeros(tok_lens.shape[0], dtype=np.int64)
+    if tok_lens.shape[0]:
+        np.cumsum(tok_lens[:-1], out=tok_starts[1:])
+    return (
+        nodes,
+        sig_blob.view(np.uint32).reshape(-1, num_perm),
+        emb_blob.view(np.float32).reshape(-1, embed_dim),
+        tok_blob,
+        tok_starts,
+        tok_lens,
+    )
 
 
-# per-worker-process record of broadcast packs already page-swept, keyed by
-# the ObjectRef hex string (stable per broadcast; an id() key could be
-# recycled after the cached deserialized object is GC'd and falsely skip the
-# sweep for a NEW pack)
+def _shard_index(*shards):
+    """Remote index task: per-shard node arrays -> (sorted nodes, global
+    arrival-order permutation, shard offsets). Touches ONLY the (tiny) node
+    arrays of each shard — the sig/emb/tok pages stay cold until a scoring
+    task actually gathers them."""
+    ns = [s[0] for s in shards]
+    sizes = np.array([n.shape[0] for n in ns], dtype=np.int64)
+    offs = np.zeros(sizes.shape[0] + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    nodes = np.concatenate(ns) if ns else np.empty(0, dtype=np.int64)
+    order = np.argsort(nodes, kind="stable")
+    return nodes[order], order, offs
+
+
+# per-worker-process record of broadcast shards already page-swept, keyed by
+# the ObjectRef hex string (stable per shard; an id() key could be recycled
+# after the cached deserialized object is GC'd and falsely skip the sweep)
 _PREFAULTED: set[str] = set()
 
 
-def _pack_group(*tabs) -> pa.Table:
-    """Remote pack task: flatten a group of feature blocks into packed rows
-    (one row per block) via zero-copy Arrow buffer access."""
-    packed = [_pack_features(t) for t in tabs if t.num_rows]
-    if not packed:
-        packed = [_pack_features(pa.table({
-            "node": pa.array([], type=pa.int64()),
-            "sig": pa.array([], type=pa.large_binary()),
-            "emb": pa.array([], type=pa.large_binary()),
-            "tokseq": pa.array([], type=pa.large_binary()),
-        }))]
-    return pa.concat_tables(packed)
-
-
-def _build_pack(num_perm: int, embed_dim: int, *rows):
-    """Remote reduce: packed rows -> the two broadcast lookup tuples.
-
-    Returned (via ``num_returns=2``) as two separate plasma objects: every
-    scoring task maps the (sig, emb) lookup, but the token blob — needed only
-    for the borderline Levenshtein fallback — is mapped lazily, so most tasks
-    never touch its pages."""
-    allt = pa.concat_tables(rows)  # zero-copy; empty packed rows add 0 bytes
-
-    def _col_np(name: str, dtype) -> np.ndarray:
-        a = allt.column(name).combine_chunks()
-        off = np.frombuffer(a.buffers()[1], dtype=np.int64)[: len(a) + 1]
-        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
-        return data[off[0]: off[-1]].view(dtype)
-
-    nodes = _col_np("nodes", np.int64)
-    sig = _col_np("sig", np.uint32).reshape(-1, num_perm)
-    emb = _col_np("emb", np.float32).reshape(-1, embed_dim)
-    blob = _col_np("tok_blob", np.uint8)
-    lens = _col_np("tok_lens", np.int64)
-    # sig/emb/blob stay in ARRIVAL order — a 100s-of-MB gather into sorted
-    # order costs a serial memcpy storm; instead ship the sorted node index
-    # plus its permutation and let each (parallel) scoring task double-index
-    order = np.argsort(nodes, kind="stable")
-    starts = np.zeros(lens.shape[0], dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    return (nodes[order], order, sig, emb), (blob, starts, lens)
-
-
 def prepare_score_pack(features, cfg: LinkageConfig):
-    """Launch the broadcast score-pack build as chained remote tasks; returns
-    (ref, tok_ref) ObjectRefs WITHOUT blocking the driver.
+    """Launch the broadcast score-pack build; returns (index_ref,
+    [shard_ref, ...]) WITHOUT blocking the driver.
 
-    The build (per-block-group flatten -> one reduce that sorts the node
-    index) runs in workers concurrently with whatever the pipeline does next —
-    link_dataset calls this right before the LSH blocking section, so the pack
-    lands while blocking computes. The old inline build held the driver for a
-    flat ~2-3 s (collect + concat + ray.put of ~300 MB on the 375k-file
-    corpus), constant in num_cpus — one of the three flat terms that pinned
-    scaling efficiency.
+    One pack task per ~8 feature blocks builds one contiguous SHARD; a tiny
+    index task sorts the concatenated node ids and records shard offsets.
+    Everything runs in workers concurrently with whatever the pipeline does
+    next — link_dataset calls this right before the LSH blocking section, so
+    the pack lands while blocking computes.
 
     ``features`` should be materialized/checkpointed (it is, in link_dataset);
     on a lazy dataset ``to_arrow_refs`` would execute it here."""
     import ray
 
     refs = features.to_arrow_refs()
-    pack_t = ray.remote(num_cpus=1)(_pack_group)
+    pack_t = ray.remote(num_cpus=1)(_shard_arrays)
     groups = [refs[i: i + 8] for i in range(0, len(refs), 8)]
-    packed = ([pack_t.remote(*g) for g in groups]
-              if groups else [pack_t.remote()])
-    build_t = ray.remote(num_cpus=1, num_returns=2)(_build_pack)
-    return build_t.remote(cfg.num_perm, cfg.embed_dim, *packed)
+    shard_refs = ([pack_t.remote(cfg.num_perm, cfg.embed_dim, *g) for g in groups]
+                  if groups else [pack_t.remote(cfg.num_perm, cfg.embed_dim)])
+    index_ref = ray.remote(num_cpus=1)(_shard_index).remote(*shard_refs)
+    return index_ref, shard_refs
 
 
 def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
     """Zero-shuffle scoring: the compact feature arrays land in plasma ONCE
-    and every scoring task looks pairs up by sorted node id. Used whenever the
-    feature table fits (cfg.broadcast_feature_rows); this is the single-node
-    fast path — per-pair shuffle joins are memory-bandwidth bound and do not
-    scale with cores."""
+    (as parallel-built shards) and every scoring task looks pairs up by
+    sorted node id, gathering per shard. Used whenever the feature table fits
+    (cfg.broadcast_feature_rows); this is the single-node fast path — per-pair
+    shuffle joins are memory-bandwidth bound and do not scale with cores."""
     import ray
 
-    ref, tok_ref = pack if pack is not None else prepare_score_pack(features, cfg)
-    import os
-    import sys
-    import time
+    index_ref, shard_refs = (pack if pack is not None
+                             else prepare_score_pack(features, cfg))
 
-    _trace = os.environ.get("ELR_TIMING") == "1"
+    def _gather(shards, col: int, sh, loc, out):
+        """out[i] = shards[sh[i]][col][loc[i]] — one vectorized masked gather
+        per shard; sweeps each shard's pages sequentially on this worker's
+        first touch (cold plasma mappings faulted in random order stall under
+        this host's THP compaction)."""
+        for s in np.unique(sh):
+            arr = shards[s][col]
+            m = sh == s
+            out[m] = arr[loc[m]]
+        return out
 
     def _score(batch: pa.Table) -> pa.Table:
-        _bt0 = time.time()
-        fnodes, fperm, fsig, femb = ray.get(ref)
-        _pkey = ref.hex()
-        if _pkey not in _PREFAULTED:
-            # touch one byte per page SEQUENTIALLY before the random pair
-            # gathers: a cold plasma mapping faulted in random order stalls
-            # for seconds under this host's THP compaction, while a
-            # sequential sweep rides readahead (~0.05 s hot, ~0.3 s cold)
-            fsig.reshape(-1)[::1024].sum()
-            femb.reshape(-1)[::1024].sum()
-            _PREFAULTED.add(_pkey)
+        fnodes, fperm, offs = ray.get(index_ref)
+        shards = ray.get(shard_refs)
+        for si, s in enumerate(shard_refs):
+            _pkey = s.hex()
+            if _pkey not in _PREFAULTED:
+                # touch one byte per page SEQUENTIALLY before the random pair
+                # gathers (~16 MB/shard of sig+emb: cheap, and readahead-
+                # friendly unlike the gathers' random fault order)
+                shards[si][1].reshape(-1)[::1024].sum()
+                shards[si][2].reshape(-1)[::1024].sum()
+                _PREFAULTED.add(_pkey)
         n = batch.num_rows
         if n == 0:
             return pa.table({
@@ -281,8 +278,16 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
         dst = batch.column("dst").to_numpy(zero_copy_only=False)
         ia = fperm[np.searchsorted(fnodes, src)]
         ib = fperm[np.searchsorted(fnodes, dst)]
-        jac = (fsig[ia] == fsig[ib]).mean(axis=1)
-        dot = np.einsum("ij,ij->i", femb[ia], femb[ib]).astype(np.float64)
+        sh_a = np.searchsorted(offs, ia, side="right") - 1
+        sh_b = np.searchsorted(offs, ib, side="right") - 1
+        la, lb = ia - offs[sh_a], ib - offs[sh_b]
+        num_perm, dim = cfg.num_perm, cfg.embed_dim
+        siga = _gather(shards, 1, sh_a, la, np.empty((n, num_perm), np.uint32))
+        sigb = _gather(shards, 1, sh_b, lb, np.empty((n, num_perm), np.uint32))
+        emba = _gather(shards, 2, sh_a, la, np.empty((n, dim), np.float32))
+        embb = _gather(shards, 2, sh_b, lb, np.empty((n, dim), np.float32))
+        jac = (siga == sigb).mean(axis=1)
+        dot = np.einsum("ij,ij->i", emba, embb).astype(np.float64)
         matched = (jac >= cfg.tau_jaccard) | (dot >= cfg.tau_dot)
         borderline = ~matched & (
             (jac >= cfg.tau_jaccard - cfg.borderline_margin)
@@ -290,19 +295,14 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
         )
         lev = np.zeros(n)
         if borderline.any():
-            fblob, fstart, flen = ray.get(tok_ref)
             for i in np.flatnonzero(borderline):
-                sa, la = fstart[ia[i]], flen[ia[i]]
-                sb, lb = fstart[ib[i]], flen[ib[i]]
-                a = np.ascontiguousarray(fblob[sa: sa + la]).view(np.uint32)
-                b = np.ascontiguousarray(fblob[sb: sb + lb]).view(np.uint32)
+                sa_sh, sb_sh = shards[sh_a[i]], shards[sh_b[i]]
+                sa, la_i = sa_sh[4][la[i]], sa_sh[5][la[i]]
+                sb, lb_i = sb_sh[4][lb[i]], sb_sh[5][lb[i]]
+                a = np.ascontiguousarray(sa_sh[3][sa: sa + la_i]).view(np.uint32)
+                b = np.ascontiguousarray(sb_sh[3][sb: sb + lb_i]).view(np.uint32)
                 lev[i] = token_levenshtein_ratio(a, b)
             matched = matched | (borderline & (lev >= cfg.tau_lev))
-        if _trace:
-            sys.stderr.write(
-                f"[score] batch n={n} border={int(borderline.sum())} "
-                f"{time.time()-_bt0:.2f}s\n"
-            )
         score = np.maximum(np.maximum(jac, dot), lev)
         kind = np.where(lev >= cfg.tau_lev, "lev", np.where(jac >= dot, "jaccard", "dot"))
         keep = matched | (score >= cfg.tau_emit)
@@ -317,7 +317,7 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
 
     # 32k pairs/batch: the per-batch overhead (two searchsorted probes into
     # the broadcast index) is negligible, and halving the batch doubles the
-    # scoring task count — 1.2M bench pairs yield ~38 tasks, enough to fill
+    # scoring task count -- 1.2M bench pairs yield ~38 tasks, enough to fill
     # 32 slots instead of capping at 19
     return pairs.map_batches(_score, batch_format="pyarrow", batch_size=32768)
 
