@@ -647,17 +647,41 @@ def q_revenue_per_segment(sf_dir: str):
 
 def q_median_quantity(sf_dir: str):
     """Per-group exact median (continuous interpolation — matches DuckDB
-    median()) via groupby.map_groups."""
+    median()) via distributed VALUE COUNTS: each block collapses to its
+    (flag, quantity) histogram, Ray's aggregate sums the partials, and the
+    driver interpolates the median from the tiny merged histogram.
+
+    Scale story: l_quantity has a bounded value domain (TPC-H: integers
+    1..50), so the merged histogram is O(groups x distinct values) — a few
+    hundred rows REGARDLESS of corpus size; this replaces the per-group
+    pandas median (the one remaining map_groups aggregate) with an exactly
+    scalable plan. For unbounded domains the same shape degrades gracefully
+    to distinct-value cardinality (or a t-digest approximation)."""
     li = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "median_qty": [round(float(g["l_quantity"].median()), 4)],
-            "n": [np.int64(len(g))],
-        })
+    def counts(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"], "q": t["l_quantity"],
+        }).group_by(["l_returnflag", "q"]).aggregate([("q", "count")])
+        return g.rename_columns(["l_returnflag", "q", "cnt"])
 
-    return li.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+    hist = (
+        li.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "q"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).to_pandas()
+
+    rows = []
+    for flag, g in hist.groupby("l_returnflag"):
+        g = g.sort_values("q")
+        q = g["q"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        kth = lambda k: q[np.searchsorted(cum, k)]  # k-th order stat (1-idx)
+        m = kth(n // 2 + 1) if n % 2 else (kth(n // 2) + kth(n // 2 + 1)) / 2.0
+        rows.append({"l_returnflag": flag, "median_qty": round(float(m), 4),
+                     "n": np.int64(n)})
+    return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "n"])
 
 
 def q_dedup_documents_exact(sf_dir: str):
