@@ -1827,6 +1827,87 @@ def q_linkage_exact_clusters(sf_dir: str):
     )
 
 
+def q_sample_documents(sf_dir: str, rate: float = 0.1):
+    """Deterministic hash sampling (O4: the reference's random sampler,
+    zeshel_dataset.py:56-60, made reproducible): keep a document iff the top
+    16 bits of md5(doc_id) fall under rate * 2^16. Hash sampling is the
+    100-TB-correct sampler — no coordination, no seed state, stable under
+    retries/resume, and joins with itself across tables (sample the SAME ids
+    everywhere). Exactly SQL-expressible, so the oracle is not statistical.
+    The per-row md5 matches DuckDB's md5(CAST(doc_id AS VARCHAR))."""
+    import hashlib
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    cut = int(rate * 65536)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keep = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) < cut
+             for i in ids),
+            dtype=bool, count=len(ids),
+        )
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_vocab_topk(sf_dir: str, k: int = 100):
+    """Distributed vocabulary top-k — the token-frequency pass every
+    training-data pipeline runs before building a tokenizer (T1's data-side
+    counterpart; the reference takes its vocab pretrained,
+    tokenization.py:6-15). Plan: per-block token counts (map-side combine)
+    -> partitioned exact sum on hashed token buckets (any token's rows land
+    in one bucket) -> per-bucket top-k (exact: buckets hold complete tokens)
+    -> tiny global merge on the driver (P x k rows). No full-vocabulary
+    object ever leaves the workers."""
+    import hashlib
+    import re
+
+    from ..stages.common import partitioned_aggregate
+
+    word_re = re.compile(r"[a-z0-9_]+")
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(word_re.findall(s.lower()))
+        toks = list(c.keys())
+        return pa.table({
+            "token": pa.array(toks, type=pa.string()),
+            "cnt": pa.array([c[tk] for tk in toks], type=pa.int64()),
+        })
+
+    def tok_hash(t: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                            "little")
+             for s in t.column("token").to_pylist()),
+            dtype=np.uint64, count=t.num_rows,
+        )
+
+    agg = partitioned_aggregate(
+        docs.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], [("cnt", "sum", "cnt")], NPART, part_from=tok_hash,
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        df = t.to_pandas().sort_values(["cnt", "token"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    head = pa.concat_tables(
+        [b for b in (ray.get(r) for r in
+                     agg.map_batches(local_topk, batch_format="pyarrow")
+                     .to_arrow_refs()) if b.num_rows]
+    ).to_pandas().sort_values(["cnt", "token"], ascending=[False, True])
+    return head.head(k).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; views pre-registered per table name)
 # ---------------------------------------------------------------------------
@@ -1948,6 +2029,19 @@ ORACLE_SQL: dict[str, str] = {
                len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
                length(text) AS n_chars2
         FROM documents
+    """,
+    "sample_documents": """
+        SELECT doc_id, text FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              < CAST(0.1 * 65536 AS INTEGER)
+    """,
+    "vocab_topk": """
+        SELECT token, count(*) AS cnt FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+            FROM documents
+        ) GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 100
     """,
     "quality_score": """
         SELECT doc_id,
@@ -2292,6 +2386,8 @@ QUERIES = {
     "asof_events_orders": q_asof_events_orders,
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,
+    "sample_documents": q_sample_documents,
+    "vocab_topk": q_vocab_topk,
     "quality_score": q_quality_score,
     "langid": q_langid,
     "langid_accuracy": q_langid_accuracy,

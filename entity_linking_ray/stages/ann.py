@@ -56,13 +56,21 @@ def _list_matrix(col) -> np.ndarray:
     return np.stack(a.to_numpy(zero_copy_only=False)).astype(np.float64)
 
 
-def _collect_matrix(ds, id_col: str, emb_col: str):
-    tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows > 0]
-    tbl = pa.concat_tables([t.select([id_col, emb_col]) for t in tables])
-    ids = tbl.column(id_col).to_numpy()
-    emb = _list_matrix(tbl.column(emb_col))
-    order = np.argsort(ids)
-    return ids[order], emb[order]
+def _shard_matrix(id_col: str, emb_col: str, *tabs):
+    """Remote shard-collect: a group of candidate blocks -> (ids ascending,
+    L2-normalized float64 matrix) as ONE plasma shard. Parallel shard tasks
+    replace the driver-side _collect_matrix + ray.put of the full matrix,
+    which serially re-faulted every plasma page (~20 s for the 375k x 128
+    corpus on this THP-stalling host)."""
+    live = [t for t in tabs if t.num_rows]
+    if not live:
+        return np.empty(0, dtype=np.int64), np.empty((0, 1), dtype=np.float64)
+    ids = np.concatenate([
+        t.column(id_col).to_numpy(zero_copy_only=False) for t in live
+    ]).astype(np.int64)
+    emb = np.concatenate([_list_matrix(t.column(emb_col)) for t in live])
+    order = np.argsort(ids)  # ascending ids: _topk_rows' tie-break contract
+    return ids[order], _normalize(emb[order])
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -108,27 +116,64 @@ def _topk_rows(qids, cids_sorted, cos, k):
 def brute_force_topk(queries, candidates, k: int = 10,
                      id_col: str = "vec_id", emb_col: str = "embedding",
                      exclude_self: bool = True):
-    """-> Dataset(query_id, neighbor_id, rank, cos). Candidates broadcast once."""
-    cids, cemb = _collect_matrix(candidates, id_col, emb_col)  # id-sorted
-    cemb = _normalize(cemb)
-    ref = ray.put((cids, cemb))
+    """-> Dataset(query_id, neighbor_id, rank, cos). Candidates broadcast
+    once as PARALLEL-built shards (one per ~8 blocks); each query batch runs
+    one matmul per shard and merges the per-shard top-k exactly.
+
+    Exactness of the merge: the global order is total (cos desc, id asc);
+    every global top-k row is within its own shard's top-k under the same
+    order (shard ids are pre-sorted ascending), so the union of per-shard
+    top-k contains the global top-k and one lexsort recovers it."""
+    refs = candidates.to_arrow_refs()
+    shard_t = ray.remote(num_cpus=1)(_shard_matrix)
+    groups = [refs[i: i + 8] for i in range(0, len(refs), 8)]
+    shard_refs = ([shard_t.remote(id_col, emb_col, *g) for g in groups]
+                  if groups else [shard_t.remote(id_col, emb_col)])
+
+    empty = pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        "neighbor_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int64()),
+        "cos": pa.array([], type=pa.float64()),
+    })
 
     def _topk(t: pa.Table) -> pa.Table:
-        ids, emb = ray.get(ref)
+        n = t.num_rows
+        if n == 0:
+            return empty
         q = _normalize(_list_matrix(t.column(emb_col)))
-        qids = t.column(id_col).to_numpy(zero_copy_only=False)
-        cos = np.round(q @ emb.T, 6)
-        if exclude_self:
-            cos[ids[None, :] == qids[:, None]] = -np.inf
-        oq, on, orr, oc = _topk_rows(qids, ids, cos, k)
+        qids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for ids_s, emb_s in ray.get(shard_refs):
+            if ids_s.shape[0] == 0:
+                continue
+            cos = np.round(q @ emb_s.T, 6)
+            if exclude_self:
+                cos[ids_s[None, :] == qids[:, None]] = -np.inf
+            oq, on, _orr, oc = _topk_rows(qids, ids_s, cos, k)
+            parts.append((oq, on, oc))
+        if not parts:
+            return empty
+        q_all = np.concatenate([p[0] for p in parts])
+        n_all = np.concatenate([p[1] for p in parts])
+        c_all = np.concatenate([p[2] for p in parts])
+        order = np.lexsort((n_all, -c_all, q_all))
+        q_s, n_s, c_s = q_all[order], n_all[order], c_all[order]
+        new_q = np.empty(q_s.shape[0], dtype=bool)
+        new_q[0] = True
+        np.not_equal(q_s[1:], q_s[:-1], out=new_q[1:])
+        starts = np.flatnonzero(new_q)
+        rank = (np.arange(q_s.shape[0], dtype=np.int64)
+                - starts[np.cumsum(new_q) - 1] + 1)
+        keep = (rank <= k) & (c_s > -np.inf)
         return pa.table({
-            "query_id": pa.array(oq),
-            "neighbor_id": pa.array(on),
-            "rank": pa.array(orr),
-            "cos": pa.array(oc),
+            "query_id": pa.array(q_s[keep]),
+            "neighbor_id": pa.array(n_s[keep]),
+            "rank": pa.array(rank[keep]),
+            "cos": pa.array(c_s[keep]),
         })
 
-    return queries.map_batches(_topk, batch_format="pyarrow")
+    return queries.map_batches(_topk, batch_format="pyarrow", batch_size=2048)
 
 
 def _kmeans_centroids(sample: np.ndarray, n_cells: int, seed: int, iters: int = 8):
