@@ -1755,6 +1755,65 @@ def q_cc_documents(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def q_canonical_documents(sf_dir: str):
+    """Canonicalization policy over near-dup clusters — the curation step a
+    training-data pipeline runs after dedup grouping: per connected component
+    (same similarity graph as cc_documents) keep the HIGHEST-QUALITY member
+    (here: most tokens, ties to the smallest doc_id) and record the cluster
+    size. Plan: the engine's distributed components + a token-stats map,
+    joined, then one bucketed vectorized argmax per component (no per-group
+    Python). Oracle: the cc recursive CTE + a row_number window."""
+    import re
+
+    from ..stages.common import bucketed_map_groups
+
+    comps = q_cc_documents(sf_dir)
+    word = re.compile(r"[A-Za-z0-9_]+")
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(
+                [len(word.findall(x)) for x in t.column("text").to_pylist()],
+                type=pa.int64(),
+            ),
+        })
+
+    joined = safe_join(
+        comps, docs.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        join_type="inner", num_partitions=NPART, on=("doc_id",),
+    )
+
+    def keep_best(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "component": pa.array([], type=pa.int64()),
+            "keeper_doc_id": pa.array([], type=pa.int64()),
+            "keeper_tokens": pa.array([], type=pa.int64()),
+            "n_members": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        comp = t.column("component").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ntok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -ntok, comp))
+        comp, did, ntok = comp[order], did[order], ntok[order]
+        first = np.empty(comp.shape[0], dtype=bool)
+        first[0] = True
+        np.not_equal(comp[1:], comp[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, comp.shape[0]))
+        return pa.table({
+            "component": pa.array(comp[starts]),
+            "keeper_doc_id": pa.array(did[starts]),
+            "keeper_tokens": pa.array(ntok[starts]),
+            "n_members": pa.array(sizes.astype(np.int64)),
+        })
+
+    return bucketed_map_groups(joined, ["component"], keep_best, NPART)
+
+
 def q_linkage_exact_clusters(sf_dir: str):
     """The flagship linkage pipeline's EXACT-DUP sub-path, made SQL-checkable:
     corpus (documents + a planted byte-identical copy of every doc_id % 5 == 0
@@ -2349,6 +2408,41 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster
         FROM corpus
     """,
+    "canonical_documents": """
+        WITH RECURSIVE edges AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+             AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+        ),
+        walk(node, reach) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.node, s.v FROM walk w JOIN sym s ON s.u = w.reach
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node
+        ),
+        tok AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+            FROM documents
+        )
+        SELECT component, doc_id AS keeper_doc_id, n_tokens AS keeper_tokens,
+               n_members
+        FROM (
+            SELECT c.component, c.doc_id, t.n_tokens,
+                   count(*) OVER (PARTITION BY c.component) AS n_members,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY t.n_tokens DESC, c.doc_id
+                   ) AS rn
+            FROM comp c JOIN tok t USING (doc_id)
+        ) WHERE rn = 1
+    """,
     "cc_documents": """
         WITH RECURSIVE edges AS (
             SELECT a.doc_id AS u, b.doc_id AS v
@@ -2405,5 +2499,6 @@ QUERIES = {
     "tokenize_pad": q_tokenize_pad,
     "transform_mentions": q_transform_mentions,
     "cc_documents": q_cc_documents,
+    "canonical_documents": q_canonical_documents,
     "linkage_exact_clusters": q_linkage_exact_clusters,
 }
