@@ -88,3 +88,34 @@ def test_ivf_recall_vs_brute_force():
         len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
     ]
     assert np.mean(recalls) >= 0.5, f"IVF recall too low: {np.mean(recalls):.2f}"
+
+
+def test_brute_force_shard_merge_edges(ray_session):
+    """Sharded brute-force merge edge cases: fewer candidates than k (the
+    self row must fall out, not appear with -inf), ties broken by id asc,
+    ranks dense per query."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_linking_ray.stages.ann import brute_force_topk
+
+    dim = 4
+    ids = np.arange(5, dtype=np.int64)
+    emb = np.eye(5, dim) + 0.1  # distinct but overlapping directions
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.astype(np.float64).ravel()), dim),
+    })
+    cands = rd.from_arrow(tbl)
+    out = brute_force_topk(cands, cands, k=10).to_pandas()
+    # k=10 > 4 available non-self neighbors: exactly 4 rows per query
+    counts = out.groupby("query_id").size()
+    assert (counts == 4).all(), counts
+    # no self rows, no -inf scores
+    assert (out["query_id"] != out["neighbor_id"]).all()
+    assert np.isfinite(out["cos"]).all()
+    # ranks are 1..4 per query
+    for _, g in out.groupby("query_id"):
+        assert sorted(g["rank"]) == [1, 2, 3, 4]
