@@ -1102,6 +1102,12 @@ def q_minhash_near_dup(sf_dir: str, broadcast_limit: int | None = None):
                 ).to_arrow_refs()
             ) if t.num_rows
         ]
+        if not tabs:  # empty input: np.concatenate([]) would raise
+            return ray.data.from_arrow(pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }))
         ids = np.concatenate([t.column("doc_id").to_numpy() for t in tabs])
         blobs = [b for t in tabs for b in t.column("shingles").to_pylist()]
         lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
@@ -1462,6 +1468,13 @@ def q_embedding_near_dup(sf_dir: str, tau: float = 0.35,
     from ..stages.blocking import bucketed_pairs
 
     emb_ds = _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    n_emb = emb_ds.count()
+    if n_emb == 0:  # empty input: degenerate blocks crash the pair gen /
+        # np.concatenate — return the typed empty pair set instead
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+        }))
 
     def _rows(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1481,9 +1494,14 @@ def q_embedding_near_dup(sf_dir: str, tau: float = 0.35,
 
     if broadcast_limit is None:
         broadcast_limit = LinkageConfig().broadcast_key_limit
-    if emb_ds.count() <= broadcast_limit:
+    if n_emb <= broadcast_limit:
         tabs = [t for t in (ray.get(r) for r in emb_ds.to_arrow_refs())
                 if t.num_rows]
+        if not tabs:  # all-empty blocks: np.concatenate([]) would raise
+            return ray.data.from_arrow(pa.table({
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+            }))
         ids = np.concatenate([t.column("vec_id").to_numpy() for t in tabs])
         mat = np.concatenate([_list_matrix(t.column("embedding")) for t in tabs])
         o = np.argsort(ids)

@@ -197,9 +197,11 @@ def transform_mentions(mentions, documents, npart: int = 16,
 def _transform_mentions_join(mentions, documents, npart: int):
     """The scale plan: two hash-shuffle joins on the (corpus, document id)
     composite key (int64 siphash on both sides — identical to the broadcast
-    plan's key, so row resolution is identical). Assumes (corpus,
-    document_id) uniquely keys the documents side — the reference's own
-    invariant (dict insertion, transform_zeshel.py:49)."""
+    plan's key) with a post-join key-STRING equality filter, so hash
+    collisions resolve exactly like the broadcast plan's verified lookups
+    and row resolution is identical. Assumes (corpus, document_id) uniquely
+    keys the documents side — the reference's own invariant (dict insertion,
+    transform_zeshel.py:49)."""
     from ..stages.common import safe_join, scrub_empty_blocks
 
     # NOTE on names: the join key must NOT be a name-prefix of the payload
@@ -208,9 +210,14 @@ def _transform_mentions_join(mentions, documents, npart: int):
     # '____sk_id'); '__ks' / '__src_*' never collide that way
     def _docs_side(keyname: str, prefix: str):
         def _m(t: pa.Table) -> pa.Table:
-            h, _ = _key_hash(t, "corpus", "document_id")
+            h, keys = _key_hash(t, "corpus", "document_id")
             return pa.table({
                 keyname: pa.array(h),
+                # the full key STRING travels with the hash so joined rows can
+                # be verified — a 63-bit siphash collision would otherwise
+                # silently attach the wrong document (the broadcast plan
+                # verifies strings; the join plan must match it)
+                f"__{prefix}_vkey": pa.array(keys, type=pa.string()),
                 f"__{prefix}_id": t["document_id"].cast(pa.string()),
                 f"__{prefix}_title": t["title"].cast(pa.string()),
                 f"__{prefix}_text": t["text"].cast(pa.string()),
@@ -231,6 +238,24 @@ def _transform_mentions_join(mentions, documents, npart: int):
                    num_partitions=npart, on=("__kl",))
 
     def _finish_join(t: pa.Table) -> pa.Table:
+        # post-filter on key-string equality: rows joined through a hash
+        # collision (hash matched, key didn't) are dropped here, making the
+        # join plan's row resolution identical to the broadcast plan's
+        # collision handling (one vectorized compare per side)
+        if t.num_rows:
+            ks = pc.binary_join_element_wise(
+                t.column("corpus").cast(pa.string()),
+                t.column("context_document_id").cast(pa.string()),
+                "\x00",
+            )
+            kl = pc.binary_join_element_wise(
+                t.column("corpus").cast(pa.string()),
+                t.column("label_document_id").cast(pa.string()),
+                "\x00",
+            )
+            keep = pc.and_(pc.equal(ks, t.column("__src_vkey")),
+                           pc.equal(kl, t.column("__lbl_vkey")))
+            t = t.filter(keep)
         out = t.drop_columns([c for c in t.column_names if c.startswith("__")])
         for prefix, side in (("src", "src"), ("label", "lbl")):
             out = out.append_column(
@@ -296,17 +321,42 @@ def combine_entities(transformed, npart: int = 16):
     return bucketed_map_groups(flat, ["document_id"], _dedup_local, npart, part_from=_part)
 
 
-def split_overlap(entities_a, entities_b) -> int:
-    """|ids(a) ∩ ids(b)| — the split-disjointness audit (:69-74). The id
-    projections are tiny (entities are already deduped); collected as sets."""
-    def ids(ds):
-        out = set()
+def split_overlap(entities_a, entities_b, key_limit: int = 5_000_000,
+                  plan: str | None = None) -> int:
+    """|ids(a) ∩ ids(b)| — the split-disjointness audit (:69-74). Inputs are
+    deduped entity tables (combine_entities output: unique document_id), so
+    an inner join counts each intersecting id exactly once.
+
+    Size-gated like every other plan pair (plan-agreement tested):
+
+    - ``sets`` (combined ids <= key_limit): id projections collected to
+      driver sets — one object round-trip, no shuffle.
+    - ``join``: one hash-shuffle semi-join + distributed count; nothing
+      id-shaped ever lands on the driver (a 10^9-entity corpus stays off
+      the driver heap entirely)."""
+    def _proj(ds):
         # zero-column empty blocks (Ray 2.49 groupby artifact) have no schema
         # to select from — skip them
-        for r in ds.map_batches(
+        return ds.map_batches(
             lambda t: t.select(["document_id"]) if t.num_rows else t,
             batch_format="pyarrow",
-        ).to_arrow_refs():
+        )
+
+    if plan is None:
+        plan = ("sets"
+                if entities_a.count() + entities_b.count() <= key_limit
+                else "join")
+    if plan == "join":
+        from ..stages.common import default_partitions, safe_join
+
+        return safe_join(
+            _proj(entities_a), _proj(entities_b), join_type="inner",
+            num_partitions=default_partitions(), on=("document_id",),
+        ).count()
+
+    def ids(ds):
+        out = set()
+        for r in _proj(ds).to_arrow_refs():
             t = ray.get(r)
             if t.num_rows:
                 out.update(t.column("document_id").to_pylist())

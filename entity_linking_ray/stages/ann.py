@@ -322,13 +322,18 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int | None = 16,
     # (measured ~4x on int keys, stages/common.py); each reduce task walks
     # its bucket's cell segments with one argsort and runs the vectorized
     # per-cell kernel per segment — Python cost is bounded by n_cells total,
-    # not by Ray's per-group dispatch. Payload note: the exchange holds the
+    # not by Ray's per-group dispatch. Payload note: the exchange stages the
     # (emb fixed-bin) rows in plasma without backpressure — ~0.5 KB/row at
-    # d=128, so a 10^6-row corpus stages ~0.5 GB; past that raise
-    # num_partitions with node count (object count scales with P).
-    from .common import hash_exchange
+    # d=128 float32 — so P is AUTO-SIZED from the estimated total bytes
+    # (partitions_for_bytes) to keep each reduce bucket's heap bounded; the
+    # exchange's own max_bucket_bytes guard fails loud if an estimate is ever
+    # beaten (e.g. a single cell past the bucket budget — n_cells must grow
+    # with the corpus, see autotune_ivf).
+    from .common import hash_exchange, partitions_for_bytes
 
-    P = max(2, min(num_partitions, n_cells))
+    dim = sample.shape[1] if sample.ndim == 2 else 1
+    row_bytes = dim * np.dtype(pack_dtype).itemsize + 17  # emb + cell/side/vec
+    P = max(2, min(n_cells, partitions_for_bytes(n_cand, row_bytes, num_partitions)))
 
     def _with_part(t: pa.Table) -> pa.Table:
         cell = t.column("cell").to_numpy(zero_copy_only=False)

@@ -25,8 +25,13 @@ def effective_broadcast_rows(limit: int, bytes_per_row: int = 1300,
     sig+emb+tokseq pack); on hosts with small object stores (Ray default:
     30% of RAM) a static 3M-row gate could pick the broadcast plan for a
     corpus whose pack spills or fails the ``ray.put``. The effective gate is
-    ``min(limit, frac * object_store_bytes / bytes_per_row)`` — per-node
-    plasma is identical across the cluster, so plan selection stays
+    ``min(limit, frac * min_per_node_object_store_bytes / bytes_per_row)``.
+
+    The clamp uses the MINIMUM per-node store, not the cluster aggregate: a
+    broadcast ``ray.put`` object is replicated into every node's plasma, so
+    it must fit the smallest node — on an N-node cluster the aggregate would
+    inflate the gate ~N-fold and stop protecting anything. On a homogeneous
+    cluster min-per-node is the same on every node, so plan selection stays
     deterministic across parallelism levels. Both plans produce identical
     output (plan-agreement tested), so a clamp never changes results.
     """
@@ -34,7 +39,15 @@ def effective_broadcast_rows(limit: int, bytes_per_row: int = 1300,
 
     if not ray.is_initialized():
         return limit
-    plasma = ray.cluster_resources().get("object_store_memory")
+    per_node = [
+        n.get("Resources", {}).get("object_store_memory")
+        for n in ray.nodes()
+        if n.get("Alive")
+    ]
+    per_node = [p for p in per_node if p]
+    plasma = min(per_node) if per_node else ray.cluster_resources().get(
+        "object_store_memory"
+    )
     if not plasma:
         return limit
     return max(10_000, min(limit, int(plasma * frac / bytes_per_row)))
@@ -109,15 +122,36 @@ def _exch_split(col, P, pre, *tabs):
     return _split_by(t, col, P)
 
 
-def _exch_reduce(kernel, col2, P, *shards):
+def _exch_reduce(kernel, col2, P, max_bucket_bytes, *shards):
+    if max_bucket_bytes is not None:
+        got = sum(t.nbytes for t in shards if hasattr(t, "nbytes"))
+        if got > max_bucket_bytes:
+            raise ValueError(
+                f"hash_exchange bucket holds {got} bytes > max_bucket_bytes="
+                f"{max_bucket_bytes} (P={P}); the exchange stages every shard "
+                "in plasma with no backpressure — raise num_partitions (use "
+                "partitions_for_bytes) or keep wide payloads on Ray-native ops"
+            )
     out = kernel(_concat_shards(shards))
     if col2 is None:
         return out
     return _split_by(out, col2, P)
 
 
+def partitions_for_bytes(n_rows: int, bytes_per_row: int, base: int,
+                         target_bucket_bytes: int = 256 << 20,
+                         cap: int = 4096) -> int:
+    """Partition count for a hash_exchange sized so each reduce bucket's
+    concatenated shards stay under ``target_bucket_bytes`` of heap — the
+    enforcement half of hash_exchange's compact-row contract. Returns
+    ``max(base, ceil(total_bytes / target))`` capped at ``cap`` (object count
+    scales with P x split tasks; past the cap raise ``refs_per_task`` too)."""
+    need = -(-(n_rows * bytes_per_row) // target_bucket_bytes)
+    return max(base, min(cap, int(need)))
+
+
 def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4,
-                  pre=None):
+                  pre=None, max_bucket_bytes: int | None = 2 << 30):
     """Manual hash exchange: split every block by the int bucket column
     ``col`` (values in [0, P)), one reduce task per bucket runs
     ``kernel(concat_of_its_shards)``. Returns a Dataset of the reduce outputs.
@@ -139,7 +173,12 @@ def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4,
     Contract:
     - rows must be compact (the exchange holds every shard in the object
       store at once with no streaming backpressure — fine for 16-32 B shuffle
-      rows, wrong for wide payloads; keep those on Ray-native ops),
+      rows, wrong for wide payloads; keep those on Ray-native ops). ENFORCED:
+      each reduce task checks its concatenated shard bytes against
+      ``max_bucket_bytes`` (default 2 GiB) and fails loud with a pointer to
+      ``partitions_for_bytes`` instead of silently staging tens of GB —
+      callers with a known row width should pre-size P with that helper
+      (see ivf_topk) so the guard never trips in a sized plan,
     - ``kernel`` must accept an empty table (buckets can be empty),
     - the bucket column is dropped before the kernel sees the table.
 
@@ -175,12 +214,12 @@ def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4,
                 t = _pre(t)
             return _kernel(t.drop_columns([_col]) if _col in t.column_names else t)
 
-        one = red_t.remote(_k1, None, 1, *refs)
+        one = red_t.remote(_k1, None, 1, max_bucket_bytes, *refs)
         if kernel2 is not None:
             def _k2(t, _kernel=kernel2, _col=col2):
                 return _kernel(t.drop_columns([_col]) if _col in t.column_names else t)
 
-            one = red_t.remote(_k2, None, 1, one)
+            one = red_t.remote(_k2, None, 1, max_bucket_bytes, one)
         return ray.data.from_arrow_refs([one])
 
     shards = []
@@ -197,15 +236,19 @@ def hash_exchange(ds, col, P, kernel, col2=None, kernel2=None, refs_per_task=4,
         return ds
     if col2 is None:
         outs = [
-            red_t.remote(kernel, None, P, *[s[p] for s in shards]) for p in range(P)
+            red_t.remote(kernel, None, P, max_bucket_bytes, *[s[p] for s in shards])
+            for p in range(P)
         ]
     else:
         mids = [
-            red_t.options(num_returns=P).remote(kernel, col2, P, *[s[p] for s in shards])
+            red_t.options(num_returns=P).remote(
+                kernel, col2, P, max_bucket_bytes, *[s[p] for s in shards]
+            )
             for p in range(P)
         ]
         outs = [
-            red_t.remote(kernel2, None, P, *[m[q] for m in mids]) for q in range(P)
+            red_t.remote(kernel2, None, P, max_bucket_bytes, *[m[q] for m in mids])
+            for q in range(P)
         ]
     return ray.data.from_arrow_refs(outs)
 

@@ -234,10 +234,19 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None,
             return None, reps, exact_edges, _is_rep
         return None, reps, exact_edges
 
-    # scale plan: ONE hash shuffle of the packed rows -> (rep_node, node)
-    # mapping (per-partition group_by(min) + in-process join), then a hash
+    # scale plan: ONE hash exchange of the packed rows -> (rep_node, node)
+    # mapping (per-bucket group_by(min) + in-process join), then a hash
     # join on node (int64 — cheaper than the sha string) tags every row.
-    def _add_part(t: pa.Table) -> pa.Table:
+    # The pack + part-tag map is FUSED into the exchange's split tasks
+    # (``pre=``): the 40 B packed rows are born inside the split wave and the
+    # wide feature blocks are read zero-copy — no intermediate plasma write.
+    # (Previously ``groupby("__part").map_groups`` — bounded at P groups so
+    # correct, but paying Ray's range-sort exchange where the int bucket key
+    # only needs the bincount split, measured ~4x slower; common.py.)
+    from .common import hash_exchange
+
+    def _pack_part(t: pa.Table) -> pa.Table:
+        t = _pack_block(t)
         # cast BEFORE the modulo: int64 % uint64-scalar promotes to float64 in
         # numpy (silently computing on float-rounded keys); uint64 % uint64
         # stays exact integer math like the other _add_part implementations
@@ -248,18 +257,18 @@ def exact_collapse(features, cfg: LinkageConfig, rep_cols=None,
         return t.append_column("__part", pa.array(part))
 
     def _rep_emit(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({
+                "rep_node": pa.array([], type=pa.int64()),
+                "node": pa.array([], type=pa.int64()),
+            })
         rep = t.group_by(["k0", "k1", "k2", "k3"]).aggregate([("node", "min")])
         j = t.join(rep, keys=["k0", "k1", "k2", "k3"])
         return pa.table({"rep_node": j.column("node_min"), "node": j.column("node")})
 
-    mapping = (
-        features.map_batches(_pack_block, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(_add_part, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(_rep_emit, batch_format="pyarrow")
-        .materialize()
-    )
+    mapping = hash_exchange(
+        features, "__part", cfg.shuffle_partitions, _rep_emit, pre=_pack_part
+    ).materialize()
     exact_edges = mapping.map_batches(_edges_from_tagged, batch_format="pyarrow")
     # materialized: two consumers (reps filter + dup-edge projection) would
     # otherwise each re-execute; rows are compact.

@@ -51,3 +51,19 @@ def test_degenerate_corpus(name):
     out = link_dataset(rd.from_arrow(_corpus(rows)), CFG).materialize().take_all()
     assert len(out) == len(rows)
     assert len({r["cluster"] for r in out}) == expect_clusters
+
+
+def test_embedding_near_dup_empty_input(tmp_path):
+    """Empty embeddings table: the broadcast verify path must return an empty
+    pair set, not crash in np.concatenate([])."""
+    import pyarrow.parquet as pq
+
+    from entity_linking_ray.pipelines.queries import q_embedding_near_dup
+
+    t = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+        "label": pa.array([], type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    assert q_embedding_near_dup(str(tmp_path)).count() == 0

@@ -192,3 +192,55 @@ def test_connected_components_plans_agree():
         rd.from_arrow(edges), LinkageConfig(shuffle_partitions=4, driver_cc_edge_limit=0)
     ).take_all()
     assert {(r["node"], r["cluster"]) for r in a} == {(r["node"], r["cluster"]) for r in b}
+
+
+def test_hash_exchange_bucket_guard_trips_on_wide_rows():
+    """The compact-row contract is ENFORCED: a reduce bucket whose shards
+    exceed max_bucket_bytes fails loud (pointing at partitions_for_bytes)
+    instead of silently staging the payload in plasma."""
+    from entity_linking_ray.stages.common import hash_exchange
+
+    wide = pa.table({
+        "__part": pa.array([0, 1] * 4, type=pa.int64()),
+        "payload": pa.array([b"x" * 100_000] * 8, type=pa.binary()),
+    })
+    with pytest.raises(Exception, match="max_bucket_bytes"):
+        # from_arrow_refs fetches block schemas eagerly, so the reduce-task
+        # error can surface inside hash_exchange itself or at consumption
+        hash_exchange(
+            rd.from_arrow(wide), "__part", 2, lambda t: t, max_bucket_bytes=1000
+        ).take_all()
+
+
+def test_partitions_for_bytes_sizing():
+    from entity_linking_ray.stages.common import partitions_for_bytes
+
+    # 10^8 rows x 512 B = 51.2 GB -> ceil(51.2 GB / 256 MB) = 191 buckets
+    assert partitions_for_bytes(100_000_000, 512, 16) == 191
+    # small corpora keep the caller's base partition count
+    assert partitions_for_bytes(10_000, 512, 16) == 16
+    # capped: past this raise refs_per_task too (object-count bound)
+    assert partitions_for_bytes(10**12, 512, 16) == 4096
+
+
+def test_exact_collapse_scale_plan_matches_broadcast():
+    """The hash_exchange-based scale plan (broadcast gate zeroed) produces
+    the same reps and exact edges as the broadcast plan."""
+    import dataclasses
+
+    from entity_linking_ray.stages.featurize import featurize as _feat
+
+    t = _corpus_tbl(
+        [("r1", "a.py", "same"), ("r2", "b.py", "same"), ("r3", "c.py", "other"),
+         ("r4", "d.py", "same"), ("r5", "e.py", "other")]
+    )
+    feats = _feat(fingerprint(rd.from_arrow(t)), CFG).materialize()
+    _, reps_b, edges_b = exact_collapse(feats, CFG)
+    scale_cfg = dataclasses.replace(CFG, broadcast_feature_rows=0)
+    _, reps_s, edges_s = exact_collapse(feats, scale_cfg)
+    rb = sorted(r["node"] for r in reps_b.take_all())
+    rs = sorted(r["node"] for r in reps_s.take_all())
+    assert rb == rs and len(rb) == 2
+    eb = sorted((r["src"], r["dst"]) for r in edges_b.take_all())
+    es = sorted((r["src"], r["dst"]) for r in edges_s.take_all())
+    assert eb == es and len(eb) == 3

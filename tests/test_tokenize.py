@@ -150,3 +150,33 @@ def test_get_tokenizer_rejects_unknown_family():
 
     with pytest.raises(RuntimeError, match="Invalid base model type"):
         get_tokenizer("GPT2_BASE")
+
+
+def test_encode_pad_batch_equals_per_row_loop():
+    """The vectorized factorize+scatter batch encoder is exactly the per-row
+    encode_pad loop — with and without the cross-batch word cache, across
+    families, including empty / truncated / special-token word lists."""
+    import numpy as np
+
+    from entity_linking_ray.stages.tokenize import BaseModelType, get_tokenizer
+
+    for family in BaseModelType.ALL:
+        tok = get_tokenizer(family, vocab_size=1000, seq_len=12)
+        lists = [
+            [],
+            ["hello", "world"],
+            ["dup", "dup", "dup"],
+            ["w%d" % i for i in range(40)],  # truncates at seq_len - 2
+            [tok.cls_token, "x", tok.sep_token, "|"],  # specials mid-sequence
+            ["ümläut", "中文", "a" * 100],
+        ]
+        exp_ids = np.stack([tok.encode_pad(ws)[0] for ws in lists])
+        exp_mask = np.stack([tok.encode_pad(ws)[1] for ws in lists])
+        got_ids, got_mask = tok.encode_pad_batch(lists)
+        assert (got_ids == exp_ids).all() and (got_mask == exp_mask).all()
+        cache: dict = {}
+        c_ids, c_mask = tok.encode_pad_batch(lists, word_cache=cache)
+        assert (c_ids == exp_ids).all() and (c_mask == exp_mask).all()
+        # warm-cache second pass identical
+        c_ids2, _ = tok.encode_pad_batch(lists, word_cache=cache)
+        assert (c_ids2 == exp_ids).all() and len(cache) > 0

@@ -146,3 +146,21 @@ def test_write_transformed_json_roundtrip(raw_inputs, transformed, tmp_path):
 
     back = rd.read_json(os.path.join(str(tmp_path), "mentions"))
     assert back.count() == transformed.count()
+
+
+def test_split_overlap_plan_agreement(raw_inputs, transformed):
+    """sets and join plans agree on overlapping and disjoint inputs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ents = combine_entities(transformed).materialize()
+    n = ents.count()
+    assert split_overlap(ents, ents, plan="sets") == n
+    assert split_overlap(ents, ents, plan="join") == n
+    other = rd.from_arrow(pa.table({
+        "document_id": pa.array(["zzz1", "zzz2"]),
+        "title": pa.array(["t1", "t2"]),
+        "text": pa.array(["x", "y"]),
+    }))
+    assert split_overlap(ents, other, plan="sets") == 0
+    assert split_overlap(ents, other, plan="join") == 0
