@@ -1634,15 +1634,59 @@ def q_ann_ivf_exhaustive(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal binary-column pipeline: deterministic fake assets ->
-    actor-pool decode -> resize plan (rows-only; decode itself is stubbed,
-    the Ray plumbing is real — see stages/multimodal.py)."""
+    """Multimodal binary-column pipeline over REAL codecs: deterministic
+    PPM/WAV/Y4M assets -> actor-pool StdlibDecoder decode -> resize plan
+    (rows-only; the exact decoded stats are oracle-checked separately by
+    multimodal_stats — see stages/multimodal.py)."""
     import ray.data
 
-    from ..stages.multimodal import decode_media, resize_plan, synth_assets
+    from ..stages.multimodal import (
+        StdlibDecoder,
+        decode_media,
+        resize_plan,
+        synth_codec_assets,
+    )
 
-    assets = ray.data.from_arrow(synth_assets(300))
-    return resize_plan(decode_media(assets, batch_size=32), max_side=224)
+    assets = ray.data.from_arrow(synth_codec_assets(np.arange(300)))
+    return resize_plan(
+        decode_media(assets, batch_size=32, decoder_cls=StdlibDecoder),
+        max_side=224,
+    )
+
+
+def q_multimodal_stats(sf_dir: str):
+    """Decoded-media stats with an EXACT SQL oracle: one asset per documents
+    row, encoded into a real public codec (PPM P6 / WAV PCM / Y4M C444,
+    selected by doc_id % 3), decoded by the stdlib kernel in an actor pool,
+    stats (dims, frame count, value count, mean/min/max of the decoded
+    samples) computed from the DECODED BYTES. Every asset field is a
+    closed-form function of doc_id (see synth_codec_assets), so the oracle
+    recomputes the expected stats in pure SQL — a decode-kernel bug (header
+    parse, plane math, sample width) breaks the hash match."""
+    from ..stages.multimodal import StdlibDecoder, decode_media, synth_codec_assets
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        return synth_codec_assets(t.column("doc_id").to_numpy())
+
+    assets = docs.map_batches(_mk, batch_format="pyarrow")
+    dec = decode_media(assets, batch_size=32, decoder_cls=StdlibDecoder)
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["asset_id"],
+            "kind": t["kind_decoded"],
+            "height": t["height"].cast(pa.int64()),
+            "width": t["width"].cast(pa.int64()),
+            "n_frames": t["n_frames"].cast(pa.int64()),
+            "n_values": t["n_values"],
+            "mean_value": t["mean_value"],
+            "min_value": t["min_value"],
+            "max_value": t["max_value"],
+        })
+
+    return dec.map_batches(_proj, batch_format="pyarrow")
 
 
 def q_tokenize_pad(sf_dir: str):
@@ -2354,6 +2398,46 @@ ORACLE_SQL: dict[str, str] = {
         FROM ks CROSS JOIN q LEFT JOIN first_hit fh ON fh.qid = q.qid
         GROUP BY ks.k
     """,
+    "multimodal_stats": """
+        WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+        SELECT doc_id,
+               CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+               CAST(CASE m WHEN 0 THEN 8 + doc_id % 8
+                           WHEN 1 THEN 1
+                           ELSE 8 + doc_id % 4 END AS BIGINT) AS height,
+               CAST(CASE m WHEN 0 THEN 16 + doc_id % 16
+                           WHEN 1 THEN 200 + doc_id % 800
+                           ELSE 8 + doc_id % 8 END AS BIGINT) AS width,
+               CAST(CASE m WHEN 2 THEN 2 + doc_id % 6
+                           ELSE 1 END AS BIGINT) AS n_frames,
+               CAST(CASE m
+                    WHEN 0 THEN (8 + doc_id % 8) * (16 + doc_id % 16) * 3
+                    WHEN 1 THEN 200 + doc_id % 800
+                    ELSE (8 + doc_id % 4) * (8 + doc_id % 8) * (2 + doc_id % 6)
+               END AS BIGINT) AS n_values,
+               ROUND(CASE m
+                    WHEN 0 THEN (doc_id % 256 + (doc_id + 85) % 256
+                                 + (doc_id + 170) % 256) / 3.0
+                    WHEN 1 THEN ((doc_id % 100) * 10)
+                                * CAST((200 + doc_id % 800) % 2 AS DOUBLE)
+                                / (200 + doc_id % 800)
+                    ELSE CAST(doc_id % 256 AS DOUBLE)
+               END, 6) AS mean_value,
+               CAST(CASE m
+                    WHEN 0 THEN LEAST(doc_id % 256, (doc_id + 85) % 256,
+                                      (doc_id + 170) % 256)
+                    WHEN 1 THEN -((doc_id % 100) * 10)
+                    ELSE doc_id % 256
+               END AS DOUBLE) AS min_value,
+               CAST(CASE m
+                    WHEN 0 THEN GREATEST(doc_id % 256, (doc_id + 85) % 256,
+                                         (doc_id + 170) % 256)
+                    WHEN 1 THEN (doc_id % 100) * 10
+                    ELSE doc_id % 256
+               END AS DOUBLE) AS max_value
+        FROM d
+    """,
     "tokenize_pad": """
         WITH w AS (
             SELECT doc_id,
@@ -2514,6 +2598,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_stats": q_multimodal_stats,
     "tokenize_pad": q_tokenize_pad,
     "transform_mentions": q_transform_mentions,
     "cc_documents": q_cc_documents,

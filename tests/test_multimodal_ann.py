@@ -28,9 +28,66 @@ def test_fake_asset_roundtrip():
     assert (kind, a, b, c, seed) == ("video", 320, 240, 30, 7)
 
 
-def test_real_decoder_is_cleanly_stubbed():
-    with pytest.raises(NotImplementedError):
-        RealDecoder()
+def test_stdlib_codec_roundtrips():
+    """PPM / WAV / Y4M encode->decode roundtrips are byte-exact; the decoder
+    dispatches on magic bytes and rejects unknown codecs."""
+    from entity_linking_ray.stages.multimodal import (
+        StdlibDecoder,
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    # header with a comment line (netpbm spec allows them)
+    commented = b"P6\n# a comment\n9 5\n255\n" + px.tobytes()
+    assert (decode_ppm(commented) == px).all()
+
+    s = rng.integers(-30000, 30000, 333).astype(np.int16)
+    rate, got = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000 and (got == s).all()
+
+    luma = rng.integers(0, 256, (4, 6, 8), dtype=np.uint8)
+    assert (decode_y4m(encode_y4m(luma)) == luma).all()
+
+    dec = StdlibDecoder()
+    assert dec.decode(encode_ppm(px))[0] == "image"
+    assert dec.decode(encode_wav(s))[0] == "audio"
+    assert dec.decode(encode_y4m(luma))[0] == "video"
+    with pytest.raises(ValueError, match="unsupported codec"):
+        dec.decode(b"\x89PNG\r\n\x1a\n....")
+    assert RealDecoder is StdlibDecoder  # the real kernel IS the stdlib one
+
+
+def test_codec_assets_decode_to_closed_form_stats():
+    """synth_codec_assets' decoded stats equal the closed-form doc_id math the
+    SQL oracle uses (multimodal_stats)."""
+    from entity_linking_ray.stages.multimodal import StdlibDecoder, synth_codec_assets
+
+    dec = StdlibDecoder()
+    t = synth_codec_assets(np.arange(30))
+    for aid, payload in zip(t.column("asset_id").to_pylist(),
+                            t.column("payload").to_pylist()):
+        kind, arr = dec.decode(payload)
+        m = aid % 3
+        if m == 0:
+            v = [(aid + 85 * c) % 256 for c in range(3)]
+            assert kind == "image" and arr.shape == (8 + aid % 8, 16 + aid % 16, 3)
+            assert float(arr.mean()) == pytest.approx(sum(v) / 3)
+            assert arr.min() == min(v) and arr.max() == max(v)
+        elif m == 1:
+            n, a = 200 + aid % 800, (aid % 100) * 10
+            assert kind == "audio" and arr.shape == (n,)
+            assert arr.max() == a and arr.min() == -a
+        else:
+            assert kind == "video"
+            assert arr.shape == (2 + aid % 6, 8 + aid % 4, 8 + aid % 8)
+            assert arr.min() == arr.max() == aid % 256
 
 
 def test_decode_media_actor_pool():
