@@ -1161,6 +1161,39 @@ def q_minhash_near_dup(sf_dir: str, broadcast_limit: int | None = None):
     return jb.map_batches(verify_j, batch_format="pyarrow")
 
 
+def q_minhash_containment(sf_dir: str):
+    """MinHash-LSH verified pairs MINUS the exact n-gram-Jaccard pairs — the
+    PRECISION invariant of the probabilistic near-dup stack, as a checkable
+    query: q_minhash_near_dup verifies every banding candidate with the same
+    exact shingle-set Jaccard (same w=3 shingles, same 4-dp rounding, same
+    tau=0.3) that q_ngram_jaccard computes exhaustively, so every emitted
+    minhash pair MUST appear in the exact operator's output. Expected result:
+    the EMPTY set (the SQL oracle is the empty relation) — this converts the
+    sampling operator's rows-only status into a driver-checked inclusion.
+    Recall (the candidate-generation side, < 1.0 by LSH design) is measured
+    in tests/test_queries.py and recorded in BASELINE.md."""
+    mh = q_minhash_near_dup(sf_dir)
+    ex = q_ngram_jaccard(sf_dir)
+
+    def _pairs(ds):
+        tabs = [t.select(["doc_a", "doc_b"])
+                for t in (ray.get(r) for r in ds.to_arrow_refs())
+                if t.num_rows]
+        if not tabs:
+            return set()
+        t = pa.concat_tables(tabs)
+        return set(zip(t.column("doc_a").to_pylist(),
+                       t.column("doc_b").to_pylist()))
+
+    # near-dup RESULT sets are small by construction (pairs above tau);
+    # collecting results to the driver is what every consumer does anyway
+    extra = sorted(_pairs(mh) - _pairs(ex))
+    return pa.table({
+        "doc_a": pa.array([a for a, _ in extra], type=pa.int64()),
+        "doc_b": pa.array([b for _, b in extra], type=pa.int64()),
+    })
+
+
 def q_ngram_jaccard(sf_dir: str, tau: float = 0.3, w: int = 3,
                     num_partitions: int = NPART,
                     broadcast_limit: int | None = None):
@@ -2398,6 +2431,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM ks CROSS JOIN q LEFT JOIN first_hit fh ON fh.qid = q.qid
         GROUP BY ks.k
     """,
+    "minhash_containment": """
+        -- the precision invariant: minhash-verified pairs not in the exact
+        -- n-gram-Jaccard output; MUST be empty (see q_minhash_containment)
+        SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b
+        WHERE 1 = 0
+    """,
     "multimodal_stats": """
         WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
         SELECT doc_id,
@@ -2590,6 +2629,7 @@ QUERIES = {
     "simhash": q_simhash,
     "doc_fingerprints": q_doc_fingerprints,
     "minhash_near_dup": q_minhash_near_dup,
+    "minhash_containment": q_minhash_containment,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_topk": q_embedding_topk,

@@ -243,13 +243,19 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
 
     def _gather(shards, col: int, sh, loc, out):
         """out[i] = shards[sh[i]][col][loc[i]] — one vectorized masked gather
-        per shard; sweeps each shard's pages sequentially on this worker's
-        first touch (cold plasma mappings faulted in random order stall under
-        this host's THP compaction)."""
+        per shard, in ASCENDING row order: the gather indices are sorted so
+        the big mmap'd shard is read near-sequentially (page/TLB-friendly;
+        random fancy-indexing order was the memory-bandwidth hot spot of the
+        whole scoring stage) and the results scattered back into the small
+        cache-resident output block. Also sweeps each shard's pages
+        sequentially on this worker's first touch (cold plasma mappings
+        faulted in random order stall under this host's THP compaction)."""
         for s in np.unique(sh):
             arr = shards[s][col]
-            m = sh == s
-            out[m] = arr[loc[m]]
+            m = np.flatnonzero(sh == s)
+            ls = loc[m]
+            o = np.argsort(ls, kind="stable")
+            out[m[o]] = arr[ls[o]]
         return out
 
     def _score(batch: pa.Table) -> pa.Table:

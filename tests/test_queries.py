@@ -177,3 +177,23 @@ def test_simhash_near_dup_plans_agree():
         a[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         b[cols].sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
     )
+
+
+def test_minhash_containment_and_recall():
+    """Precision invariant: every minhash-verified pair is in the exact
+    n-gram-Jaccard output (q_minhash_containment returns the empty set), and
+    LSH candidate recall vs the exhaustive operator is measured."""
+    from entity_linking_ray.pipelines.queries import (
+        q_minhash_containment,
+        q_minhash_near_dup,
+        q_ngram_jaccard,
+    )
+
+    assert q_minhash_containment(SF).num_rows == 0
+    mp = {(r["doc_a"], r["doc_b"]) for r in q_minhash_near_dup(SF).take_all()}
+    ep = {(r["doc_a"], r["doc_b"]) for r in q_ngram_jaccard(SF).take_all()}
+    assert mp <= ep
+    recall = len(mp & ep) / max(1, len(ep))
+    # cfg banding (16 bands x 8 rows over 128 perms) keeps candidate recall
+    # high at tau=0.3 on this corpus; assert a conservative floor
+    assert recall >= 0.8, recall
