@@ -2006,6 +2006,105 @@ def q_sample_documents(sf_dir: str, rate: float = 0.1):
     return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_stratified_sample(sf_dir: str, rates: dict[str, float] | None = None,
+                        default_rate: float = 0.7):
+    """Stratified deterministic sampling — the language-rebalancing pass of a
+    training-data mix (downsample the dominant language, keep the rare ones):
+    per-row keep-probability depends on the row's ``lang`` stratum, decided by
+    the same coordination-free md5(doc_id) hash as q_sample_documents, so the
+    op stays resume-stable, retry-stable and self-joinable across tables while
+    hitting per-stratum quotas. Exactly SQL-expressible (non-statistical
+    oracle)."""
+    import hashlib
+
+    rates = rates or {"en": 0.2}
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    cuts = {k: int(v * 65536) for k, v in rates.items()}
+    default_cut = int(default_rate * 65536)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        keep = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+             < cuts.get(lg, default_cut)
+             for i, lg in zip(ids, langs)),
+            dtype=bool, count=len(ids),
+        )
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_inverted_index(sf_dir: str, min_df: int = 5):
+    """Distributed inverted-index build: token -> (document frequency, sorted
+    posting list) for tokens appearing in >= min_df documents — the IR-side
+    companion of vocab_topk (retrieval systems build this over the corpus the
+    same pass they build the vocab). Plan: per-block distinct (doc, token)
+    pairs (map-side set per document) -> one hash exchange on crc32(token) %
+    P (any token's postings land in ONE bucket, so per-bucket list building
+    is exact) -> per-bucket lexsort + segment reduce. Posting lists are
+    emitted as comma-joined sorted ids, which makes the whole structure
+    exactly SQL-comparable (string_agg ORDER BY oracle); the df >= min_df
+    floor bounds output rows the same way a real indexer drops hapax tokens."""
+    import re
+    import zlib
+
+    from ..stages.common import hash_exchange
+
+    word_re = re.compile(r"[a-z0-9_]+")
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    P = NPART
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_tok: list[str] = []
+        out_id: list[int] = []
+        for i, s in zip(ids, texts):
+            toks = set(word_re.findall(s.lower()))
+            out_tok.extend(toks)
+            out_id.extend([i] * len(toks))
+        h = np.fromiter((zlib.crc32(w.encode()) for w in out_tok),
+                        dtype=np.uint64, count=len(out_tok))
+        return pa.table({
+            "token": pa.array(out_tok, type=pa.string()),
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "__part": pa.array((h % np.uint64(P)).astype(np.int64)),
+        })
+
+    empty = pa.table({
+        "token": pa.array([], type=pa.string()),
+        "df": pa.array([], type=pa.int64()),
+        "postings": pa.array([], type=pa.string()),
+    })
+
+    def build(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        tok = np.asarray(t.column("token").to_pylist(), dtype=object)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, tok))
+        tok, did = tok[order], did[order]
+        new = np.empty(tok.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, tok.shape[0]))
+        keep = sizes >= min_df
+        toks_out = tok[starts[keep]].tolist()
+        posts = [",".join(map(str, did[s: s + z]))
+                 for s, z in zip(starts[keep], sizes[keep])]
+        return pa.table({
+            "token": pa.array(toks_out, type=pa.string()),
+            "df": pa.array(sizes[keep].astype(np.int64)),
+            "postings": pa.array(posts, type=pa.string()),
+        })
+
+    rows = docs.map_batches(pairs, batch_format="pyarrow")
+    return hash_exchange(rows, "__part", P, build)
+
+
 def q_vocab_topk(sf_dir: str, k: int = 100):
     """Distributed vocabulary top-k — the token-frequency pass every
     training-data pipeline runs before building a tokenizer (T1's data-side
@@ -2188,6 +2287,26 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, text FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
               < CAST(0.1 * 65536 AS INTEGER)
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              < CASE WHEN lang = 'en' THEN CAST(0.2 * 65536 AS INTEGER)
+                     ELSE CAST(0.7 * 65536 AS INTEGER) END
+    """,
+    "inverted_index": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+            FROM documents
+        ),
+        pairs AS (SELECT DISTINCT doc_id, token FROM toks)
+        SELECT token,
+               count(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM pairs
+        GROUP BY token
+        HAVING count(*) >= 5
     """,
     "vocab_topk": """
         SELECT token, count(*) AS cnt FROM (
@@ -2622,6 +2741,8 @@ QUERIES = {
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,
     "sample_documents": q_sample_documents,
+    "stratified_sample": q_stratified_sample,
+    "inverted_index": q_inverted_index,
     "vocab_topk": q_vocab_topk,
     "quality_score": q_quality_score,
     "langid": q_langid,

@@ -23,6 +23,8 @@ def main(path: str) -> None:
         if not line or line == "DONE":
             continue
         row = json.loads(line)
+        if "value" not in row.get("res", {}):
+            continue  # failed child run recorded for forensics
         runs[row["ncpu"]].append(row["res"]["value"])
     for c in sorted(runs):
         xs = sorted(runs[c])
