@@ -2162,6 +2162,198 @@ def q_vocab_topk(sf_dir: str, k: int = 100):
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation operators (round 4): exact quantiles, split
+# assignment, repetition quality, embedding quantization, JSON extraction
+# ---------------------------------------------------------------------------
+
+
+def q_quantiles_extended(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact per-group multi-quantile via distributed VALUE COUNTS — the
+    generalization of q_median_quantity from one order statistic to an
+    arbitrary quantile vector at NO extra distributed cost (the histogram is
+    built once; every quantile is a searchsorted into the same cumulative
+    counts). Rank semantics mirror DuckDB ``quantile_disc``: 1-based rank =
+    max(1, ceil(q * n)), verified empirically (n=10: q .25/.5/.75/.9/.99 ->
+    ranks 3/5/8/9/10).
+
+    Scale story: identical to median — merged histogram is
+    O(groups x distinct values) regardless of corpus size for bounded
+    domains (TPC-H quantity: 1..50)."""
+    import math
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"], "q": t["l_quantity"],
+        }).group_by(["l_returnflag", "q"]).aggregate([("q", "count")])
+        return g.rename_columns(["l_returnflag", "q", "cnt"])
+
+    hist = (
+        li.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "q"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).to_pandas()
+
+    names = [f"p{int(q * 100)}" for q in qs]
+    rows = []
+    for flag, g in hist.groupby("l_returnflag"):
+        g = g.sort_values("q")
+        vals = g["q"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        row = {"l_returnflag": flag, "n": np.int64(n)}
+        for q, nm in zip(qs, names):
+            rank = max(1, math.ceil(q * n))
+            row[nm] = _round_half_up(float(vals[np.searchsorted(cum, rank)]), 4)
+        rows.append(row)
+    return pd.DataFrame(rows, columns=["l_returnflag", *names, "n"])
+
+
+def q_split_assign(sf_dir: str, train: float = 0.8, valid: float = 0.9):
+    """Deterministic train/valid/test split + per-split-per-lang manifest —
+    the dataset-split op every training pipeline runs (the reference ships
+    pre-split corpora and audits their overlap, transform_zeshel.py:34-43;
+    here the split itself is derived). Assignment is by md5(doc_id) bucket
+    thresholds (coordination-free, resume/retry-stable, self-joinable across
+    tables — same contract as q_sample_documents); the aggregate manifest is
+    what a human checks before a run (split sizes, per-language balance)."""
+    import hashlib
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    t_cut, v_cut = int(train * 65536), int(valid * 65536)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        u = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        split = np.where(u < t_cut, "train", np.where(u < v_cut, "valid", "test"))
+        return pa.table({
+            "split": pa.array(split.tolist(), type=pa.string()),
+            "lang": t["lang"],
+            "n_chars": t["n_chars"],
+        })
+
+    out = docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["split", "lang"]).aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    return scrub_empty_blocks(out)
+
+
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021, appendix A
+    repetition filters): per-document top-word fraction and duplicate-2-gram
+    fraction, plus the keep decision (top word <= 20% of tokens AND dup
+    2-grams <= 50%). Fractions are emitted as exact INTEGER numerators /
+    denominators and the decision via integer cross-multiplication — zero
+    float-rounding risk in the oracle compare. Rowwise regex+Counter per doc
+    is inherent to the op (same class as token_stats); state is per-actor."""
+    import re
+    from collections import Counter
+
+    word = re.compile(r"[a-z0-9_]+")
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_words, top_cnt, n_2g, n_dup, keep = [], [], [], [], []
+        for s in t.column("text").to_pylist():
+            toks = word.findall(s.lower())
+            n = len(toks)
+            top = max(Counter(toks).values()) if n else 0
+            n2 = max(0, n - 1)
+            d2 = len({(toks[i], toks[i + 1]) for i in range(n2)})
+            dup = n2 - d2
+            n_words.append(n)
+            top_cnt.append(top)
+            n_2g.append(n2)
+            n_dup.append(dup)
+            keep.append(n > 0 and top * 5 <= n and dup * 2 <= n2)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "top_word_cnt": pa.array(top_cnt, type=pa.int64()),
+            "n_2grams": pa.array(n_2g, type=pa.int64()),
+            "n_dup_2grams": pa.array(n_dup, type=pa.int64()),
+            "keep": pa.array(keep, type=pa.bool_()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Per-vector int8 affine quantization — the embedding-compression pass
+    that shrinks ANN wire payloads 4x (this repo's IVF exchange ships float32
+    today; int8 codes + (min,max) per vector is the next rung down).
+    code_i = floor((x_i - mn) / scale + 0.5), scale = (mx - mn) / 255; a
+    constant vector (mx == mn) quantizes to all-zero codes. Outputs are
+    integer code stats (exact) plus the (mn, mx) dequant params at 6 dp.
+    Fully vectorized: one (n x d) float64 matrix per batch, zero-copy from
+    the Arrow list column's values buffer."""
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "vmin": pa.array([], type=pa.float64()),
+                "vmax": pa.array([], type=pa.float64()),
+                "code_sum": pa.array([], type=pa.int64()),
+                "code_min": pa.array([], type=pa.int64()),
+                "code_max": pa.array([], type=pa.int64()),
+            })
+        col = t.column("embedding")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(n, -1)
+        mn, mx = m.min(axis=1), m.max(axis=1)
+        scale = (mx - mn) / 255.0
+        codes = np.zeros_like(m)
+        safe = scale > 0
+        if safe.any():
+            codes[safe] = np.floor(
+                (m[safe] - mn[safe, None]) / scale[safe, None] + 0.5
+            )
+
+        def _r6(a: np.ndarray) -> pa.Array:
+            return pc.round(pa.array(a, type=pa.float64()), ndigits=6,
+                            round_mode="half_towards_infinity")
+
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "vmin": _r6(mn),
+            "vmax": _r6(mx),
+            "code_sum": pa.array(codes.sum(axis=1).astype(np.int64)),
+            "code_min": pa.array(codes.min(axis=1).astype(np.int64)),
+            "code_max": pa.array(codes.max(axis=1).astype(np.int64)),
+        })
+
+    return emb.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_props_extract(sf_dir: str):
+    """JSON field extraction over the events side-channel column + per-type
+    aggregate — the metadata-unpack op of log/training-data pipelines.
+    Extraction is one vectorized RE2 ``extract_regex`` kernel per batch (no
+    per-row json.loads); both engines run the identical regex (DuckDB's
+    regexp_extract is RE2 too)."""
+    ev = _t(sf_dir, "events", ["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?[0-9]+)')
+        k = pc.struct_field(s, "k").cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = ev.map_batches(ext, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"), Max("k", alias_name="max_k"))
+    return scrub_empty_blocks(out)
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; views pre-registered per table name)
 # ---------------------------------------------------------------------------
 
@@ -2262,6 +2454,92 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, round(median(l_quantity), 4) AS median_qty,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "quantiles_extended": """
+        SELECT l_returnflag,
+               round(quantile_disc(l_quantity, 0.25), 4) AS p25,
+               round(quantile_disc(l_quantity, 0.5), 4) AS p50,
+               round(quantile_disc(l_quantity, 0.75), 4) AS p75,
+               round(quantile_disc(l_quantity, 0.9), 4) AS p90,
+               round(quantile_disc(l_quantity, 0.99), 4) AS p99,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "split_assign": """
+        SELECT CASE WHEN u < 52428 THEN 'train'
+                    WHEN u < 58982 THEN 'valid'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (
+            SELECT lang, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INTEGER) AS u
+            FROM documents
+        )
+        GROUP BY 1, 2
+    """,
+    "gopher_repetition": """
+        WITH tk AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+            FROM documents
+        ),
+        w AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok),
+        top AS (SELECT doc_id, max(c) AS top_cnt FROM wc GROUP BY doc_id),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM tk WHERE len(t) >= 2
+        ),
+        gc AS (
+            SELECT doc_id, count(*) AS n2, count(DISTINCT bg) AS d2
+            FROM g GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               CAST(len(tk.t) AS BIGINT) AS n_words,
+               CAST(coalesce(top.top_cnt, 0) AS BIGINT) AS top_word_cnt,
+               CAST(coalesce(gc.n2, 0) AS BIGINT) AS n_2grams,
+               CAST(coalesce(gc.n2 - gc.d2, 0) AS BIGINT) AS n_dup_2grams,
+               (len(tk.t) > 0
+                AND coalesce(top.top_cnt, 0) * 5 <= len(tk.t)
+                AND coalesce(gc.n2 - gc.d2, 0) * 2 <= coalesce(gc.n2, 0)) AS keep
+        FROM tk LEFT JOIN top USING (doc_id) LEFT JOIN gc USING (doc_id)
+    """,
+    "embedding_quantize": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+            SELECT vec_id, v,
+                   list_aggregate(v, 'min') AS mn,
+                   list_aggregate(v, 'max') AS mx
+            FROM e
+        ),
+        c AS (
+            SELECT vec_id, mn, mx,
+                   CASE WHEN mx > mn THEN
+                       list_transform(v, x ->
+                           floor((x - mn) / ((mx - mn) / 255.0) + 0.5))
+                   ELSE list_transform(v, x -> 0.0) END AS codes
+            FROM s
+        )
+        SELECT vec_id,
+               round(mn, 6) AS vmin,
+               round(mx, 6) AS vmax,
+               CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+               CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+               CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
+        FROM c
+    """,
+    "props_extract": """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1)
+                             AS BIGINT)) AS BIGINT) AS sum_k,
+               min(CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1)
+                        AS BIGINT)) AS min_k,
+               max(CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1)
+                        AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
     """,
     "asof_events_orders": """
         WITH o AS (
@@ -2737,6 +3015,11 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "revenue_per_segment": q_revenue_per_segment,
     "median_quantity": q_median_quantity,
+    "quantiles_extended": q_quantiles_extended,
+    "split_assign": q_split_assign,
+    "gopher_repetition": q_gopher_repetition,
+    "embedding_quantize": q_embedding_quantize,
+    "props_extract": q_props_extract,
     "asof_events_orders": q_asof_events_orders,
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,

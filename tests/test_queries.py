@@ -27,6 +27,11 @@ SUBSET = [
     "transform_mentions",
     "ngram_jaccard",
     "simhash_near_dup",
+    "quantiles_extended",
+    "split_assign",
+    "gopher_repetition",
+    "embedding_quantize",
+    "props_extract",
 ]
 
 
