@@ -1783,16 +1783,111 @@ def q_transform_mentions(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_cc_documents(sf_dir: str):
-    """Connected components over a SQL-expressible similarity graph:
-    edge(a, b) iff same lang and |n_chars diff| <= 2. Edges are generated with
-    a bucketed band join (each doc probes 3 adjacent buckets — the same
-    blocking idea as LSH bands), components via the engine's iterative
-    min-label propagation; the oracle is a recursive CTE. Directly validates
-    the distributed union-find against SQL."""
+def _cc_documents_broadcast(docs):
+    """Broadcast plan for q_cc_documents (see its docstring). The sorted
+    composite key is ``lang_code * 2^32 + n_chars``: a +/-2 range probe can
+    never cross a language boundary (n_chars < 2^32 - 2), so one pair of
+    searchsorted calls answers 'same lang AND |n_chars diff| <= 2'."""
     from ..stages.cluster import connected_components
 
+    tabs = [t for t in (ray.get(r) for r in docs.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "component": pa.array([], type=pa.int64()),
+    })
+    if not tabs:
+        return rd.from_arrow(empty)
+    tbl = pa.concat_tables(tabs)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    nc = tbl.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    langs = np.asarray(tbl.column("lang").to_pylist(), dtype=object)
+    lang_vocab = np.unique(langs)
+    key = np.searchsorted(lang_vocab, langs).astype(np.int64) * (1 << 32) + nc
+    order = np.lexsort((ids, key))
+    side = ray.put((key[order], ids[order], lang_vocab))
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        k_sorted, id_sorted, vocab = ray.get(side)
+        a_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        a_nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        a_lang = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        akey = np.searchsorted(vocab, a_lang).astype(np.int64) * (1 << 32) + a_nc
+        lo = np.searchsorted(k_sorted, akey - 2, side="left")
+        hi = np.searchsorted(k_sorted, akey + 3, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+            })
+        rep_a = np.repeat(a_ids, counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        b_ids = id_sorted[np.repeat(lo, counts) + offs]
+        keep = b_ids > rep_a  # dedup (a,b)/(b,a) and drop self-pairs
+        return pa.table({
+            "src": pa.array(rep_a[keep]),
+            "dst": pa.array(b_ids[keep]),
+        })
+
+    edges = docs.map_batches(edges_of, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    comps = connected_components(edges, LinkageConfig(shuffle_partitions=NPART))
+    ctabs = [t for t in (ray.get(r) for r in comps.to_arrow_refs())
+             if t.num_rows]
+    if ctabs:
+        ct = pa.concat_tables(ctabs)
+        cn = ct.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = ct.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(cn, kind="stable")
+        cmap = ray.put((cn[o], cl[o]))
+    else:
+        cmap = ray.put((np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        cn, cl = ray.get(cmap)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = d.copy()  # singleton default: own id
+        if cn.shape[0]:
+            idx = np.searchsorted(cn, d)
+            idx[idx >= cn.shape[0]] = 0
+            hit = cn[idx] == d
+            comp[hit] = cl[idx[hit]]
+        return pa.table({"doc_id": pa.array(d), "component": pa.array(comp)})
+
+    return docs.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_cc_documents(sf_dir: str, broadcast_limit: int | None = None):
+    """Connected components over a SQL-expressible similarity graph:
+    edge(a, b) iff same lang and |n_chars diff| <= 2; the oracle is a
+    recursive CTE. Directly validates the distributed union-find against SQL.
+
+    Size-gated plans (same gate family as scoring/exact):
+
+    - **broadcast** (doc keys fit plasma): the (doc_id, lang, n_chars) triple
+      — 24 B/row — is collected once, sorted by (lang, n_chars), and
+      ``ray.put``; edge generation is a vectorized range query per batch
+      (two searchsorted probes + one repeat/arange expansion, no shuffle),
+      and the singleton attach is a broadcast lookup instead of a left-outer
+      join. Removes all three Ray hash joins from the small/medium regime,
+      where their fixed aggregator-pool spin-up dominated the wall.
+    - **shuffle** (beyond the gate): bucketed band join (each doc probes 3
+      adjacent n_chars//4 buckets — the same blocking idea as LSH bands).
+
+    Components themselves go through ``connected_components``, which has its
+    own driver/distributed gate."""
+    from ..stages.cluster import connected_components
+    from ..stages.common import effective_broadcast_rows
+
     docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    limit = (broadcast_limit if broadcast_limit is not None
+             else effective_broadcast_rows(50_000_000, bytes_per_row=24))
+    if docs.count() <= limit:
+        return _cc_documents_broadcast(docs)
     B = 4
 
     def left_keys(t: pa.Table) -> pa.Table:

@@ -119,6 +119,18 @@ def test_anti_join_plans_agree():
     )
 
 
+def test_cc_documents_plans_agree():
+    """cc_documents: broadcast range-query plan == bucketed band-join plan."""
+    from entity_linking_ray.pipelines.queries import q_cc_documents
+
+    a = q_cc_documents(SF).to_pandas()
+    b = q_cc_documents(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
 def test_semi_join_plans_agree():
     """customers_with_orders: broadcast plan == hash-shuffle semi-join plan."""
     from entity_linking_ray.pipelines.queries import q_customers_with_orders
