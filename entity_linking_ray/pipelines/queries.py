@@ -1666,6 +1666,34 @@ def q_ann_ivf_exhaustive(sf_dir: str):
                     pack_dtype=np.float64)
 
 
+def q_ann_lsh_topk(sf_dir: str):
+    """Random-hyperplane LSH approximate top-k (the bucketed ANN alternative
+    to IVF: no training pass, O(1) assignment, radius-1 multi-probe;
+    rows-only — approximate by design, recall vs brute force unit-tested)."""
+    from ..stages.ann import lsh_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 20)), batch_format="pyarrow"
+    )
+    return lsh_topk(queries, emb, k=10)  # autotuned n_bits/n_tables
+
+
+def q_ann_lsh_exhaustive(sf_dir: str):
+    """LSH with n_bits=0, n_tables=1: one bucket, so the plan is EXHAUSTIVE
+    and must equal brute-force cosine top-k exactly — the full SQL oracle for
+    the LSH machinery (code assignment, exchange, per-bucket kernel,
+    cross-table dedup merge, tie-breaks), mirroring ann_ivf_exhaustive."""
+    from ..stages.ann import lsh_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 20)), batch_format="pyarrow"
+    )
+    return lsh_topk(queries, emb, k=10, n_bits=0, n_tables=1,
+                    pack_dtype=np.float64)
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal binary-column pipeline over REAL codecs: deterministic
     PPM/WAV/Y4M assets -> actor-pool StdlibDecoder decode -> resize plan
@@ -2893,6 +2921,21 @@ ORACLE_SQL: dict[str, str] = {
             WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
         ) WHERE rank <= 10
     """,
+    # exhaustive LSH (n_bits=0, n_tables=1) == brute force: same oracle as
+    # embedding_topk — checks the LSH code/exchange/merge machinery exactly
+    "ann_lsh_exhaustive": """
+        SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+        ) WHERE rank <= 10
+    """,
     "embedding_near_dup": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b
@@ -3136,6 +3179,8 @@ QUERIES = {
     "retrieval_rate": q_retrieval_rate,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_exhaustive": q_ann_lsh_exhaustive,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_stats": q_multimodal_stats,
     "tokenize_pad": q_tokenize_pad,

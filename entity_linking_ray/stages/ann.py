@@ -289,6 +289,22 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int | None = 16,
 
     probe_rows = queries.map_batches(_probe, batch_format="pyarrow")
 
+    dim_hint = sample.shape[1] if sample.ndim == 2 else 1
+    return _ann_exchange_topk(cand_rows, probe_rows, k=k,
+                              exclude_self=exclude_self, pack_dtype=pack_dtype,
+                              n_cand_rows=n_cand, dim=dim_hint,
+                              num_partitions=num_partitions, max_parts=n_cells)
+
+
+def _ann_exchange_topk(cand_rows, probe_rows, *, k, exclude_self, pack_dtype,
+                       n_cand_rows, dim, num_partitions, max_parts):
+    """Shared tail of the bucketed ANN plans (IVF cells / LSH buckets): route
+    (cell, __side, vec, emb) rows through ONE hash_exchange on cell % P, run
+    the vectorized per-cell top-k kernel per cell segment inside each reduce
+    bucket, then merge per query. P is auto-sized from the estimated staged
+    bytes (the exchange has no backpressure — see hash_exchange's payload
+    contract) and capped at the distinct-key bound ``max_parts``."""
+
     # --- per-cell local top-k (one vectorized kernel per cell) ---
     def _cell_topk(t: pa.Table) -> pa.Table:
         side = t.column("__side").to_numpy(zero_copy_only=False)
@@ -331,9 +347,9 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int | None = 16,
     # with the corpus, see autotune_ivf).
     from .common import hash_exchange, partitions_for_bytes
 
-    dim = sample.shape[1] if sample.ndim == 2 else 1
     row_bytes = dim * np.dtype(pack_dtype).itemsize + 17  # emb + cell/side/vec
-    P = max(2, min(n_cells, partitions_for_bytes(n_cand, row_bytes, num_partitions)))
+    P = max(2, min(max_parts,
+                   partitions_for_bytes(n_cand_rows, row_bytes, num_partitions)))
 
     def _with_part(t: pa.Table) -> pa.Table:
         cell = t.column("cell").to_numpy(zero_copy_only=False)
@@ -402,3 +418,142 @@ def ivf_topk(queries, candidates, k: int = 10, n_cells: int | None = 16,
     from .common import bucketed_map_groups
 
     return bucketed_map_groups(local, ["query_id"], _merge_bucket, num_partitions)
+
+
+_HYPERPLANES: dict[tuple, np.ndarray] = {}
+
+
+def _hyperplanes(d: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    """(n_tables, n_bits, d) standard-normal hyperplanes — built lazily in
+    WHATEVER process needs them (driver or worker) and cached per process:
+    np.random.default_rng(seed) is deterministic given (seed, shape), so
+    every task derives the identical planes with zero broadcast traffic."""
+    key = (d, n_bits, n_tables, seed)
+    h = _HYPERPLANES.get(key)
+    if h is None:
+        h = np.random.default_rng(seed).standard_normal(
+            (n_tables, max(1, n_bits), d)
+        )
+        _HYPERPLANES[key] = h
+    return h
+
+
+def _lsh_codes(emb: np.ndarray, n_bits: int, n_tables: int, seed: int):
+    """L2-normalized (n, d) matrix -> (n, n_tables) int64 bucket keys,
+    key = (table << n_bits) | signbit-code. n_bits == 0 degenerates to one
+    bucket per table (the exhaustive operating point)."""
+    n = emb.shape[0]
+    if n_bits == 0:
+        return np.broadcast_to(
+            np.arange(n_tables, dtype=np.int64)[None, :], (n, n_tables)
+        ).copy()
+    H = _hyperplanes(emb.shape[1], n_bits, n_tables, seed)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+    codes = np.empty((n, n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (emb @ H[t].T) > 0
+        codes[:, t] = bits @ weights + (np.int64(t) << n_bits)
+    return codes
+
+
+def autotune_lsh(n_cand: int, n_bits: int | None = None,
+                 n_tables: int | None = None) -> tuple[int, int]:
+    """Corpus-sized LSH defaults: ``n_bits ~ log2(n / 100)`` targets ~100
+    candidates per bucket (measured on the 375k bench embeddings: the sqrt
+    rule's n_bits=9 left ~730-row buckets and a 384 s scan at 10k queries;
+    bucket~100 at n_bits=12 runs 60 s at recall@10 0.88), clamped to
+    [2, 20]; ``n_tables = 8`` is the recall-first default (0.88 vs 0.71 at
+    4 tables, which halves the time — pass n_tables explicitly to trade).
+    IVF remains the recommended scale path (14 s / 0.86 on the same bench):
+    LSH replicates every candidate n_tables-fold through the exchange while
+    IVF ships each exactly once; LSH's edge is zero training pass and O(1)
+    assignment."""
+    if n_bits is None:
+        import math
+
+        n_bits = max(2, min(20, round(math.log2(max(2.0, n_cand / 100.0)))))
+    if n_tables is None:
+        n_tables = 8
+    return n_bits, n_tables
+
+
+def lsh_topk(queries, candidates, k: int = 10, n_bits: int | None = None,
+             n_tables: int | None = None, flip_probes: bool = True,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             exclude_self: bool = True, seed: int = 42,
+             num_partitions: int = 16, pack_dtype=np.float32):
+    """Random-hyperplane (sign) LSH approximate cosine top-k — the bucketed
+    alternative to IVF (Charikar 2002 SimHash rounding; the same family as
+    the MinHash banding in stages/blocking.py, applied to dense vectors).
+
+    Plan shape is identical to ivf_topk and shares its exchange/merge tail:
+    candidates land in ``n_tables`` buckets each (key = table << n_bits |
+    sign-code), queries probe their own bucket per table — plus, with
+    ``flip_probes``, every radius-1 bit-flip bucket (multi-probe LSH: recall
+    of many more tables at the probe-row cost, not the candidate-replication
+    cost). All probe hits are exact-cosine re-ranked per bucket and merged
+    per query with cross-table dedup.
+
+    ``n_bits=0, n_tables=1`` is EXHAUSTIVE — one bucket, exactly brute force
+    (the SQL-oracle anchor, ann_lsh_exhaustive). Tradeoff vs IVF: no
+    training pass (no sample, no k-means) and O(1) bucket assignment, but
+    candidates replicate n_tables-fold through the exchange; IVF ships each
+    candidate once. Deterministic: hyperplanes derive from ``seed`` alone.
+    """
+    n_cand = candidates.count()
+    n_bits, n_tables = autotune_lsh(n_cand, n_bits, n_tables)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        emb = _normalize(_list_matrix(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _lsh_codes(emb, n_bits, n_tables, seed)
+        n = ids.shape[0]
+        rep = np.repeat(np.arange(n), n_tables)
+        return pa.table({
+            "cell": pa.array(codes.ravel()),
+            "__side": pa.array(np.zeros(n * n_tables, dtype=np.int8)),
+            "vec": pa.array(np.repeat(ids, n_tables)),
+            "emb": _emb_fixed_bin(emb[rep], dtype=pack_dtype),
+        })
+
+    cand_rows = candidates.map_batches(_assign, batch_format="pyarrow")
+
+    def _probe(t: pa.Table) -> pa.Table:
+        emb = _normalize(_list_matrix(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _lsh_codes(emb, n_bits, n_tables, seed)  # (n, T)
+        n = ids.shape[0]
+        if flip_probes and n_bits > 0:
+            # radius-1 multi-probe: the exact bucket + every 1-bit flip
+            flips = codes[:, :, None] ^ (
+                np.int64(1) << np.arange(n_bits, dtype=np.int64)
+            )[None, None, :]
+            codes = np.concatenate([codes[:, :, None], flips], axis=2)
+        codes = codes.reshape(n, -1)
+        p = codes.shape[1]
+        rep = np.repeat(np.arange(n), p)
+        return pa.table({
+            "cell": pa.array(codes.ravel()),
+            "__side": pa.array(np.ones(n * p, dtype=np.int8)),
+            "vec": pa.array(np.repeat(ids, p)),
+            "emb": _emb_fixed_bin(emb[rep], dtype=pack_dtype),
+        })
+
+    probe_rows = queries.map_batches(_probe, batch_format="pyarrow")
+
+    # probe a one-row schema for dim: hyperplane shape needs d, but the
+    # exchange sizing only needs an estimate — use 64 if unknown
+    dim = 64
+    try:
+        sch = candidates.schema()
+        f = sch.field(emb_col) if hasattr(sch, "field") else None
+        if f is not None and pa.types.is_fixed_size_list(f.type):
+            dim = f.type.list_size
+    except Exception:
+        pass
+    return _ann_exchange_topk(
+        cand_rows, probe_rows, k=k, exclude_self=exclude_self,
+        pack_dtype=pack_dtype, n_cand_rows=n_cand * n_tables, dim=dim,
+        num_partitions=num_partitions,
+        max_parts=max(2, n_tables << min(n_bits, 20)),
+    )

@@ -147,6 +147,47 @@ def test_ivf_recall_vs_brute_force():
     assert np.mean(recalls) >= 0.5, f"IVF recall too low: {np.mean(recalls):.2f}"
 
 
+def test_lsh_recall_vs_brute_force():
+    from entity_linking_ray.stages.ann import lsh_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = emb.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 30)), batch_format="pyarrow"
+    )
+    bf = brute_force_topk(queries, emb, k=10).take_all()
+    lsh = lsh_topk(queries, emb, k=10, n_bits=6, n_tables=4).take_all()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert np.mean(recalls) >= 0.5, f"LSH recall too low: {np.mean(recalls):.2f}"
+
+
+def test_lsh_determinism_across_runs():
+    """Hyperplanes derive from the seed alone — two independent plans over
+    the same input return byte-identical rows."""
+    from entity_linking_ray.stages.ann import lsh_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = emb.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 10)), batch_format="pyarrow"
+    )
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+        for r in lsh_topk(queries, emb, k=5, n_bits=6, n_tables=2).take_all()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+        for r in lsh_topk(queries, emb, k=5, n_bits=6, n_tables=2).take_all()
+    )
+    assert a == b
+
+
 def test_brute_force_shard_merge_edges(ray_session):
     """Sharded brute-force merge edge cases: fewer candidates than k (the
     self row must fall out, not appear with -inf), ties broken by id asc,

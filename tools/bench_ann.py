@@ -82,16 +82,29 @@ def main(ncpu: int, corpus: str) -> None:
                    num_partitions=min(16, ncpu)).materialize()
     t_ivf = round(time.time() - t0, 2)
 
+    from entity_linking_ray.stages.ann import autotune_lsh, lsh_topk
+
+    n_bits, n_tables = autotune_lsh(n)
+    t0 = time.time()
+    lsh = lsh_topk(queries, cands, k=10, n_bits=n_bits, n_tables=n_tables,
+                   num_partitions=min(16, ncpu)).materialize()
+    t_lsh = round(time.time() - t0, 2)
+
     bt = brute.to_pandas()
     it = ivf.to_pandas()
+    lt = lsh.to_pandas()
     bset = set(zip(bt["query_id"], bt["neighbor_id"]))
     iset = set(zip(it["query_id"], it["neighbor_id"]))
+    lset = set(zip(lt["query_id"], lt["neighbor_id"]))
     recall = round(len(bset & iset) / max(1, len(bset)), 4)
+    recall_lsh = round(len(bset & lset) / max(1, len(bset)), 4)
 
     print(json.dumps({
         "metric": "ann_375k", "n_candidates": n, "n_queries": nq, "k": 10,
         "brute_sec": t_brute, "ivf_sec": t_ivf, "ivf_recall_at_10": recall,
         "n_cells": 512, "n_probe": 32, "ncpu": ncpu,
+        "lsh_sec": t_lsh, "lsh_recall_at_10": recall_lsh,
+        "lsh_n_bits": n_bits, "lsh_n_tables": n_tables,
     }))
     ray.shutdown()
 
