@@ -111,7 +111,10 @@ def run_bench() -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    cfg = LinkageConfig(shuffle_partitions=default_partitions(32))
+    cfg = LinkageConfig(
+        shuffle_partitions=default_partitions(32),
+        compact_pack=os.environ.get("BENCH_COMPACT_PACK") == "1",
+    )
 
     # --- headline: flagship linkage over the synthetic code corpus ---
     timed("linkage_synth", lambda: link_dataset(corpus_path, cfg))

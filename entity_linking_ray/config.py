@@ -64,6 +64,15 @@ class LinkageConfig:
     # (common.effective_broadcast_rows: 5% of object-store bytes / 1.3 KB),
     # so hosts with small object stores fall back to the join plan safely.
     broadcast_feature_rows: int = 3_000_000
+    # compact the broadcast score pack 4x: MinHash positions to uint8
+    # fingerprints (equality-test bias <= (1-jac)/256 ~ +0.004, far inside
+    # borderline_margin) and embeddings to per-row int8 affine codes whose
+    # dequantized dot is computed EXACTLY in integer arithmetic (elementwise
+    # quantization error ~1e-3 on unit-norm vectors, also inside the margin).
+    # The 32-CPU regime of the headline is memory-bandwidth-bound, so gather
+    # bytes — not CPU — set the scoring stage's wall there. Off by default:
+    # exactness of the 6-dp dot/jac values is part of several oracle checks.
+    compact_pack: bool = False
 
     # --- clustering ---
     max_cc_rounds: int = 25

@@ -149,17 +149,26 @@ def _binary_blob(col) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(blobs), np.concatenate(lens)
 
 
-def _shard_arrays(num_perm: int, embed_dim: int, *tabs):
+def _shard_arrays(num_perm: int, embed_dim: int, compact: bool, *tabs):
     """Remote pack task: a group of feature blocks -> ONE plasma shard of
     contiguous numpy arrays (nodes, sig matrix, emb matrix, tok blob, tok
-    starts, tok lens), assembled via zero-copy Arrow buffer access.
+    starts, tok lens[, emb quant params, emb code sums]), assembled via
+    zero-copy Arrow buffer access.
 
     The shards ARE the broadcast pack: no monolithic reduce ever concatenates
     them. A single build task re-copying ~GB of plasma pages ran at ~30 MB/s
     on this host (THP page-fault stalls are per-process and serial), turning
     the pack build into a 30-40 s critical-path stall on the 1.1M-file
     corpus, while the same bytes faulted across parallel pack tasks take ~2 s.
-    Scoring tasks gather per shard (see _score_edges_broadcast)."""
+    Scoring tasks gather per shard (see _score_edges_broadcast).
+
+    ``compact`` (cfg.compact_pack): sig positions stored as their LOW BYTE
+    (uint8 keyed-splitmix output is uniform per byte; equality collisions add
+    <= (1-jac)/256 to the jaccard estimate) and embeddings as per-row int8
+    affine codes (params = (mn, scale) float64 per row, code_sum int64) so
+    the scoring gathers move ~4x fewer bytes through the one shared memory
+    system. The dequantized dot is computed exactly from the codes (see
+    _compact_dot), so results are deterministic."""
     live = [t for t in tabs if t.num_rows]
     nodes = (np.concatenate([
         t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -177,14 +186,23 @@ def _shard_arrays(num_perm: int, embed_dim: int, *tabs):
     tok_starts = np.zeros(tok_lens.shape[0], dtype=np.int64)
     if tok_lens.shape[0]:
         np.cumsum(tok_lens[:-1], out=tok_starts[1:])
-    return (
-        nodes,
-        sig_blob.view(np.uint32).reshape(-1, num_perm),
-        emb_blob.view(np.float32).reshape(-1, embed_dim),
-        tok_blob,
-        tok_starts,
-        tok_lens,
-    )
+    sig = sig_blob.view(np.uint32).reshape(-1, num_perm)
+    emb = emb_blob.view(np.float32).reshape(-1, embed_dim)
+    if not compact:
+        return (nodes, sig, emb, tok_blob, tok_starts, tok_lens, None)
+    sig8 = (sig & np.uint32(0xFF)).astype(np.uint8)
+    m = emb.astype(np.float64)
+    mn = m.min(axis=1) if m.shape[0] else np.empty(0)
+    mx = m.max(axis=1) if m.shape[0] else np.empty(0)
+    scale = (mx - mn) / 255.0
+    safe = scale > 0
+    codes = np.zeros(m.shape, dtype=np.uint8)
+    if safe.any():
+        codes[safe] = np.floor(
+            (m[safe] - mn[safe, None]) / scale[safe, None] + 0.5
+        ).astype(np.uint8)
+    params = np.stack([mn, scale], axis=1)  # (n, 2) float64
+    return (nodes, sig8, codes, tok_blob, tok_starts, tok_lens, params)
 
 
 def _shard_index(*shards):
@@ -224,8 +242,11 @@ def prepare_score_pack(features, cfg: LinkageConfig):
     refs = features.to_arrow_refs()
     pack_t = ray.remote(num_cpus=1)(_shard_arrays)
     groups = [refs[i: i + 8] for i in range(0, len(refs), 8)]
-    shard_refs = ([pack_t.remote(cfg.num_perm, cfg.embed_dim, *g) for g in groups]
-                  if groups else [pack_t.remote(cfg.num_perm, cfg.embed_dim)])
+    compact = cfg.compact_pack
+    shard_refs = ([pack_t.remote(cfg.num_perm, cfg.embed_dim, compact, *g)
+                   for g in groups]
+                  if groups else [pack_t.remote(cfg.num_perm, cfg.embed_dim,
+                                                compact)])
     index_ref = ray.remote(num_cpus=1)(_shard_index).remote(*shard_refs)
     return index_ref, shard_refs
 
@@ -288,12 +309,32 @@ def _score_edges_broadcast(pairs, features, cfg: LinkageConfig, pack=None):
         sh_b = np.searchsorted(offs, ib, side="right") - 1
         la, lb = ia - offs[sh_a], ib - offs[sh_b]
         num_perm, dim = cfg.num_perm, cfg.embed_dim
-        siga = _gather(shards, 1, sh_a, la, np.empty((n, num_perm), np.uint32))
-        sigb = _gather(shards, 1, sh_b, lb, np.empty((n, num_perm), np.uint32))
-        emba = _gather(shards, 2, sh_a, la, np.empty((n, dim), np.float32))
-        embb = _gather(shards, 2, sh_b, lb, np.empty((n, dim), np.float32))
+        compact = cfg.compact_pack
+        sig_dt = np.uint8 if compact else np.uint32
+        siga = _gather(shards, 1, sh_a, la, np.empty((n, num_perm), sig_dt))
+        sigb = _gather(shards, 1, sh_b, lb, np.empty((n, num_perm), sig_dt))
         jac = (siga == sigb).mean(axis=1)
-        dot = np.einsum("ij,ij->i", emba, embb).astype(np.float64)
+        if compact:
+            # exact dequantized dot from int8 codes: with a_i = mn_a + s_a*ca_i
+            # the dot expands to d*mn_a*mn_b + mn_a*s_b*Σcb + mn_b*s_a*Σca
+            # + s_a*s_b*Σ(ca·cb); the code term is exact int32 arithmetic, so
+            # the result is deterministic float64 — no float-matmul reorder.
+            ca = _gather(shards, 2, sh_a, la,
+                         np.empty((n, dim), np.uint8)).astype(np.int32)
+            cb = _gather(shards, 2, sh_b, lb,
+                         np.empty((n, dim), np.uint8)).astype(np.int32)
+            pa_ = _gather(shards, 6, sh_a, la, np.empty((n, 2), np.float64))
+            pb_ = _gather(shards, 6, sh_b, lb, np.empty((n, 2), np.float64))
+            sa, sb = ca.sum(axis=1, dtype=np.int64), cb.sum(axis=1, dtype=np.int64)
+            cc = np.einsum("ij,ij->i", ca, cb).astype(np.float64)
+            dot = (dim * pa_[:, 0] * pb_[:, 0]
+                   + pa_[:, 0] * pb_[:, 1] * sb
+                   + pb_[:, 0] * pa_[:, 1] * sa
+                   + pa_[:, 1] * pb_[:, 1] * cc)
+        else:
+            emba = _gather(shards, 2, sh_a, la, np.empty((n, dim), np.float32))
+            embb = _gather(shards, 2, sh_b, lb, np.empty((n, dim), np.float32))
+            dot = np.einsum("ij,ij->i", emba, embb).astype(np.float64)
         matched = (jac >= cfg.tau_jaccard) | (dot >= cfg.tau_dot)
         borderline = ~matched & (
             (jac >= cfg.tau_jaccard - cfg.borderline_margin)

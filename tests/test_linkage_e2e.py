@@ -106,3 +106,18 @@ def test_scale_plans_match_broadcast_plans(small_corpus, linked):
     a = {r["row_id"]: r["cluster"] for r in linked.take_all()}
     b = {r["row_id"]: r["cluster"] for r in out.take_all()}
     assert a == b
+
+
+def test_compact_pack_matches_default(small_corpus, linked):
+    """cfg.compact_pack (uint8 sig fingerprints + int8 affine embedding
+    codes in the broadcast score pack) quantizes scores by ~1e-3 — far
+    inside borderline_margin — so clusters and F1 must match the default
+    full-precision plan exactly on the planted corpus."""
+    corpus, _, pairs = small_corpus
+    cfg = LinkageConfig(shuffle_partitions=4, compact_pack=True)
+    out = link_dataset(rd.from_arrow(corpus), cfg).materialize()
+    a = {r["row_id"]: r["cluster"] for r in linked.take_all()}
+    b = {r["row_id"]: r["cluster"] for r in out.take_all()}
+    assert a == b
+    f1 = pairwise_f1(out, pairs, cfg)
+    assert f1["f1"] >= 0.99, f1
