@@ -672,15 +672,16 @@ def q_median_quantity(sf_dir: str):
     ).to_pandas()
 
     rows = []
-    for flag, g in hist.groupby("l_returnflag"):
-        g = g.sort_values("q")
-        q = g["q"].to_numpy(dtype=np.float64)
-        cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
-        n = int(cum[-1])
-        kth = lambda k: q[np.searchsorted(cum, k)]  # k-th order stat (1-idx)
-        m = kth(n // 2 + 1) if n % 2 else (kth(n // 2) + kth(n // 2 + 1)) / 2.0
-        rows.append({"l_returnflag": flag, "median_qty": round(float(m), 4),
-                     "n": np.int64(n)})
+    if "l_returnflag" in hist.columns:  # empty aggregate loses its schema
+        for flag, g in hist.groupby("l_returnflag"):
+            g = g.sort_values("q")
+            q = g["q"].to_numpy(dtype=np.float64)
+            cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+            n = int(cum[-1])
+            kth = lambda k: q[np.searchsorted(cum, k)]  # k-th order stat (1-idx)
+            m = kth(n // 2 + 1) if n % 2 else (kth(n // 2) + kth(n // 2 + 1)) / 2.0
+            rows.append({"l_returnflag": flag, "median_qty": round(float(m), 4),
+                         "n": np.int64(n)})
     return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "n"])
 
 
@@ -2320,6 +2321,8 @@ def q_quantiles_extended(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
 
     names = [f"p{int(q * 100)}" for q in qs]
     rows = []
+    if "l_returnflag" not in hist.columns:  # empty aggregate loses its schema
+        return pd.DataFrame(rows, columns=["l_returnflag", *names, "n"])
     for flag, g in hist.groupby("l_returnflag"):
         g = g.sort_values("q")
         vals = g["q"].to_numpy(dtype=np.float64)
