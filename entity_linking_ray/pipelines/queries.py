@@ -2459,6 +2459,71 @@ def q_embedding_quantize(sf_dir: str):
     return emb.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_quota_sample(sf_dir: str, n_per_group: int = 20):
+    """Fixed-QUOTA per-stratum sample — exactly n docs per language, chosen
+    by md5(doc_id) rank (the reservoir-sample replacement that is
+    deterministic, coordination-free and resume-stable; where
+    q_stratified_sample fixes the RATE, this fixes the COUNT — the 'exactly
+    50k docs per language' curation ask). Plan: hash-bucket on lang, one
+    lexsort + segment-rank pass per bucket (no per-group Python), rank by
+    (md5_64(doc_id), doc_id) so ties are impossible and the oracle is one
+    row_number window."""
+    import hashlib
+
+    from ..stages.common import bucketed_map_groups
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+             for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        return t.append_column("__h", pa.array(h))
+
+    def head_bucket(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_pylist()
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "lang": pa.array([], type=pa.string()),
+            "rk": pa.array([], type=pa.int64()),
+        })
+        if not lang:
+            return empty
+        lang = np.asarray(lang, dtype=object)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = t.column("__h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h, lang))
+        lang, did, h = lang[order], did[order], h[order]
+        m = lang.shape[0]
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = lang[1:] != lang[:-1]
+        starts = np.flatnonzero(new)
+        rk = np.arange(m, dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+        keep = rk <= n_per_group
+        return pa.table({
+            "doc_id": pa.array(did[keep]),
+            "lang": pa.array(lang[keep].tolist(), type=pa.string()),
+            "rk": pa.array(rk[keep]),
+        })
+
+    def lang_part(t: pa.Table) -> np.ndarray:
+        import zlib
+
+        return np.fromiter(
+            (zlib.crc32(s.encode()) for s in t.column("lang").to_pylist()),
+            dtype=np.uint64, count=t.num_rows,
+        )
+
+    withh = docs.map_batches(add_hash, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return bucketed_map_groups(withh, ["lang"], head_bucket, NPART,
+                               part_from=lang_part)
+
+
 def q_props_extract(sf_dir: str):
     """JSON field extraction over the events side-channel column + per-type
     aggregate — the metadata-unpack op of log/training-data pipelines.
@@ -2656,6 +2721,18 @@ ORACLE_SQL: dict[str, str] = {
                CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
                CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
         FROM c
+    """,
+    "quota_sample": """
+        SELECT doc_id, lang, rk FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT),
+                                doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 20
     """,
     "props_extract": """
         SELECT event_type, count(*) AS n,
@@ -3161,6 +3238,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "embedding_quantize": q_embedding_quantize,
     "props_extract": q_props_extract,
+    "quota_sample": q_quota_sample,
     "asof_events_orders": q_asof_events_orders,
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,

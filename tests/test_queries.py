@@ -32,6 +32,7 @@ SUBSET = [
     "gopher_repetition",
     "embedding_quantize",
     "props_extract",
+    "quota_sample",
 ]
 
 
