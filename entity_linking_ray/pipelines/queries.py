@@ -2459,6 +2459,34 @@ def q_embedding_quantize(sf_dir: str):
     return emb.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_redact_props(sf_dir: str):
+    """Regex scrub / redaction — the PII-removal pass of a training-data
+    pipeline (here: multi-digit runs in the events metadata stand in for
+    phone/account numbers; the kernel is pattern-agnostic). One vectorized
+    RE2 ``replace_substring_regex`` + ``count_substring_regex`` pair per
+    batch — no per-row Python; DuckDB's regexp_replace(..., 'g') is RE2 too,
+    so the oracle matches byte-for-byte (compared via md5 of the scrubbed
+    string)."""
+    ev = _t(sf_dir, "events", ["event_id", "props"])
+    pat = r"[0-9]{2,}"
+
+    def scrub(t: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(t["props"], pattern=pat,
+                                         replacement="<NUM>")
+        cnt = pc.count_substring_regex(t["props"], pattern=pat)
+        return pa.table({
+            "event_id": t["event_id"],
+            "n_redactions": cnt.cast(pa.int64()),
+            "redacted_md5": pa.array(
+                [__import__("hashlib").md5(s.encode()).hexdigest()
+                 for s in red.to_pylist()],
+                type=pa.string(),
+            ),
+        })
+
+    return ev.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_quota_sample(sf_dir: str, n_per_group: int = 20):
     """Fixed-QUOTA per-stratum sample — exactly n docs per language, chosen
     by md5(doc_id) rank (the reservoir-sample replacement that is
@@ -2721,6 +2749,14 @@ ORACLE_SQL: dict[str, str] = {
                CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
                CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
         FROM c
+    """,
+    "redact_props": """
+        SELECT event_id,
+               CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT)
+                   AS n_redactions,
+               md5(regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g'))
+                   AS redacted_md5
+        FROM events
     """,
     "quota_sample": """
         SELECT doc_id, lang, rk FROM (
@@ -3239,6 +3275,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "props_extract": q_props_extract,
     "quota_sample": q_quota_sample,
+    "redact_props": q_redact_props,
     "asof_events_orders": q_asof_events_orders,
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,

@@ -33,6 +33,7 @@ SUBSET = [
     "embedding_quantize",
     "props_extract",
     "quota_sample",
+    "redact_props",
 ]
 
 
