@@ -101,13 +101,45 @@ def attach_clusters(features, clusters, cfg: LinkageConfig):
     return out.map_batches(_fill, batch_format="pyarrow")
 
 
+def _input_fingerprint(corpus) -> str:
+    """Cheap input identity for PATH corpora: file names + sizes + mtimes
+    (metadata stat only, no data read). Folded into the checkpoint gate so a
+    changed or extended input INVALIDATES existing checkpoints — resuming
+    against different data and silently returning stale clusters is the
+    failure mode this guards. For in-memory Datasets (lazy, no stable cheap
+    identity) returns a constant: there the config hash alone gates, and the
+    caller owns input identity."""
+    import hashlib
+    import os
+
+    if not isinstance(corpus, str):
+        return "ds"
+    h = hashlib.sha256()
+    if os.path.isdir(corpus):
+        files = []
+        for root, _, names in os.walk(corpus):
+            files.extend(os.path.join(root, n) for n in names)
+        files.sort()
+    elif os.path.exists(corpus):
+        files = [corpus]
+    else:  # remote URI: no local stat — path identity only
+        return hashlib.sha256(corpus.encode()).hexdigest()[:16]
+    for f in files:
+        st = os.stat(f)
+        rel = os.path.relpath(f, corpus) if os.path.isdir(corpus) else f
+        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def link_dataset(corpus, cfg: LinkageConfig | None = None, checkpoint_dir: str | None = None):
     """Corpus Dataset/path -> Dataset(row_id, repo, path, lang, sha256, node, cluster).
 
     The returned Dataset is lazy; consume with write_parquet / iter_batches.
     """
     cfg = cfg or LinkageConfig()
-    ckpt = CheckpointManager(checkpoint_dir, cfg.config_hash())
+    ckpt = CheckpointManager(
+        checkpoint_dir, cfg.config_hash() + "-" + _input_fingerprint(corpus)
+    )
 
     ds = read_corpus(corpus)
     feats = ckpt.run(

@@ -60,10 +60,33 @@ def test_config_change_invalidates_checkpoint(corpus_path, tmp_path):
 
     with open(os.path.join(ckpt, "features", "_MANIFEST.json")) as f:
         m1 = json.load(f)
-    assert m1["config_hash"] == cfg.config_hash()
+    assert m1["config_hash"].startswith(cfg.config_hash())
 
     cfg2 = LinkageConfig(shuffle_partitions=4, tau_jaccard=0.7)
     _clusters(link_dataset(corpus_path, cfg2, checkpoint_dir=ckpt))
     with open(os.path.join(ckpt, "features", "_MANIFEST.json")) as f:
         m2 = json.load(f)
-    assert m2["config_hash"] == cfg2.config_hash() != m1["config_hash"]
+    assert m2["config_hash"].startswith(cfg2.config_hash())
+    assert m2["config_hash"] != m1["config_hash"]
+
+
+def test_input_change_invalidates_checkpoint(tmp_path):
+    """Re-pointing a checkpoint dir at CHANGED input data must recompute,
+    not silently return the stale clusters (the input fingerprint is part of
+    the checkpoint gate for path corpora)."""
+    import pyarrow as pa
+
+    ckpt = str(tmp_path / "ckpt3")
+    p = str(tmp_path / "corpus.parquet")
+    cfg = LinkageConfig(shuffle_partitions=4)
+
+    corpus, _, _ = generate_corpus(SynthSpec(n_clusters=10))
+    pq.write_table(corpus, p)
+    base = _clusters(link_dataset(p, cfg, checkpoint_dir=ckpt))
+
+    bigger, _, _ = generate_corpus(SynthSpec(n_clusters=12))
+    pq.write_table(bigger, p)  # same path, different content
+    fresh = _clusters(link_dataset(p, cfg, checkpoint_dir=str(tmp_path / "ckptF")))
+    resumed = _clusters(link_dataset(p, cfg, checkpoint_dir=ckpt))
+    assert resumed == fresh
+    assert len(resumed) == bigger.num_rows != len(base)
