@@ -2459,6 +2459,109 @@ def q_embedding_quantize(sf_dir: str):
     return emb.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_tfidf_topk(sf_dir: str, k: int = 3):
+    """Per-document TF-IDF top-k terms — the keyword-extraction / relevance
+    op of a retrieval pipeline. Plan: map-side (doc, token, tf) counts ->
+    partitioned exact df sum on hashed-token buckets -> DISTRIBUTED hash
+    join tf ⋈ df on token (the vocab never lands on the driver — same
+    contract as vocab_topk) -> idf attach -> one lexsort+segment top-k per
+    doc bucket. Float parity: DuckDB ln() is libm — bit-identical to
+    Python's math.log but NOT to numpy's SIMD np.log — so idf is computed
+    via math.log once per DISTINCT df value; ranking uses the 6-dp-rounded
+    tfidf with token-asc tie-break on both sides."""
+    import math
+    import re
+    import zlib
+    from collections import Counter
+
+    from ..stages.common import bucketed_map_groups, partitioned_aggregate
+
+    word = re.compile(r"[a-z0-9_]+")
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        out_d, out_t, out_c = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            c = Counter(word.findall(s.lower()))
+            out_d.extend([d] * len(c))
+            out_t.extend(c.keys())
+            out_c.extend(c.values())
+        return pa.table({
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "token": pa.array(out_t, type=pa.string()),
+            "tf": pa.array(out_c, type=pa.int64()),
+        })
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def tok_hash(t: pa.Table) -> np.ndarray:
+        return np.fromiter(
+            (zlib.crc32(s.encode()) for s in t.column("token").to_pylist()),
+            dtype=np.uint64, count=t.num_rows,
+        )
+
+    df = partitioned_aggregate(
+        tf.map_batches(
+            lambda t: pa.table({
+                "token": t["token"],
+                "df": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }),
+            batch_format="pyarrow",
+        ),
+        ["token"], [("df", "sum", "df")], NPART, part_from=tok_hash,
+    )
+
+    joined = safe_join(tf, df, join_type="inner",
+                       num_partitions=NPART, on=("token",))
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("tfidf", pa.array([], type=pa.float64()))
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t.column("df").to_numpy(zero_copy_only=False)
+        idf = {int(v): math.log(n_docs / int(v)) for v in np.unique(dfv)}
+        tfidf = tfv * np.fromiter((idf[int(v)] for v in dfv),
+                                  dtype=np.float64, count=dfv.shape[0])
+        r = pc.round(pa.array(tfidf), ndigits=6,
+                     round_mode="half_towards_infinity")
+        return t.append_column("tfidf", r)
+
+    scored = joined.map_batches(attach, batch_format="pyarrow")
+
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "token": pa.array([], type=pa.string()),
+        "tf": pa.array([], type=pa.int64()),
+        "df": pa.array([], type=pa.int64()),
+        "tfidf": pa.array([], type=pa.float64()),
+        "rk": pa.array([], type=pa.int64()),
+    })
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = np.asarray(t.column("token").to_pylist(), dtype=object)
+        tv = t.column("tfidf").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -tv, d))
+        ts = t.take(pa.array(order))
+        ds_ = d[order]
+        m = ds_.shape[0]
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        np.not_equal(ds_[1:], ds_[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        rk = np.arange(m, dtype=np.int64) - starts[np.cumsum(new) - 1] + 1
+        keep = rk <= k
+        ts = ts.filter(pa.array(keep)).append_column("rk", pa.array(rk[keep]))
+        return ts.select(["doc_id", "token", "tf", "df", "tfidf", "rk"])
+
+    return bucketed_map_groups(scored, ["doc_id"], topk, NPART)
+
+
 def q_redact_props(sf_dir: str):
     """Regex scrub / redaction — the PII-removal pass of a training-data
     pipeline (here: multi-digit runs in the events metadata stand in for
@@ -2749,6 +2852,26 @@ ORACLE_SQL: dict[str, str] = {
                CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
                CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
         FROM c
+    """,
+    "tfidf_topk": """
+        WITH tk AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        dfv AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        nd AS (SELECT count(*) AS n FROM documents),
+        s AS (
+            SELECT tf.doc_id, tf.tok AS token, tf.tf, dfv.df,
+                   round(tf.tf * ln(nd.n * 1.0 / dfv.df), 6) AS tfidf
+            FROM tf JOIN dfv USING (tok) CROSS JOIN nd
+        )
+        SELECT doc_id, token, tf, df, tfidf, rk FROM (
+            SELECT s.*, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token
+            ) AS rk FROM s
+        ) WHERE rk <= 3
     """,
     "redact_props": """
         SELECT event_id,
@@ -3276,6 +3399,7 @@ QUERIES = {
     "props_extract": q_props_extract,
     "quota_sample": q_quota_sample,
     "redact_props": q_redact_props,
+    "tfidf_topk": q_tfidf_topk,
     "asof_events_orders": q_asof_events_orders,
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,

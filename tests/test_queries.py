@@ -34,6 +34,7 @@ SUBSET = [
     "props_extract",
     "quota_sample",
     "redact_props",
+    "tfidf_topk",
 ]
 
 
