@@ -88,6 +88,25 @@ class CheckpointManager:
             json.dump(manifest, f, indent=1)
         return ray.data.read_parquet(d, file_extensions=["parquet"])
 
+    def run_partitioned(self, stage: str, key_col: str, key_values,
+                        fn_for_key):
+        """Key-partitioned resumable sink: one subdirectory (and manifest)
+        per key value — the '100-TB output contract': a failed run re-runs
+        ONLY the partitions whose manifest is missing/incomplete, never the
+        finished ones. ``fn_for_key(value) -> Dataset`` computes one
+        partition; returns {value: Dataset} of all partitions (loaded or
+        computed). Partition subdirs are plain Parquet: any reader can take
+        the output without this engine."""
+        out = {}
+        for v in key_values:
+            sub = f"{stage}/{key_col}={v}"
+            cached = self.load(sub)
+            if cached is not None:
+                out[v] = cached
+                continue
+            out[v] = self.save(sub, fn_for_key(v), upstream=[stage])
+        return out
+
     def run(self, stage: str, upstream: list[str], fn):
         """load-or-compute: the resume primitive every pipeline stage uses.
 

@@ -70,6 +70,38 @@ def test_config_change_invalidates_checkpoint(corpus_path, tmp_path):
     assert m2["config_hash"] != m1["config_hash"]
 
 
+def test_partitioned_sink_skips_finished_partitions(tmp_path):
+    """run_partitioned: one subdir + manifest per key; a re-run recomputes
+    ONLY the partitions whose manifest is gone (the resumable-output
+    contract for keyed 100-TB writes)."""
+    import pyarrow as pa
+
+    from entity_linking_ray.state.checkpoint import CheckpointManager
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(30), type=pa.int64()),
+        "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(30)]),
+    })
+    ds = rd.from_arrow(tbl)
+    mgr = CheckpointManager(str(tmp_path / "out"), "cfgh")
+    calls = []
+
+    def for_key(v):
+        calls.append(v)
+        return ds.filter(lambda r: r["lang"] == v)
+
+    parts = mgr.run_partitioned("by_lang", "lang", ["en", "de", "fr"], for_key)
+    assert sorted(calls) == ["de", "en", "fr"]
+    assert {v: p.count() for v, p in parts.items()} == {"en": 10, "de": 10, "fr": 10}
+
+    # finished partitions skipped; only the wiped one recomputes
+    calls.clear()
+    shutil.rmtree(str(tmp_path / "out" / "by_lang" / "lang=de"))
+    parts2 = mgr.run_partitioned("by_lang", "lang", ["en", "de", "fr"], for_key)
+    assert calls == ["de"]
+    assert {v: p.count() for v, p in parts2.items()} == {"en": 10, "de": 10, "fr": 10}
+
+
 def test_input_change_invalidates_checkpoint(tmp_path):
     """Re-pointing a checkpoint dir at CHANGED input data must recompute,
     not silently return the stale clusters (the input fingerprint is part of
