@@ -479,6 +479,52 @@ def q_windowed_events(sf_dir: str):
     )
 
 
+def q_hopping_window_events(sf_dir: str):
+    """HOPPING (sliding) window aggregate — size 2h, hop 1h: every event
+    lands in exactly two windows, [trunc(ts)-1h, +2h) and [trunc(ts), +2h).
+    The streaming-window shape Ray Data lacks natively, expressed as a
+    vectorized window fan-out (one Arrow timestamp subtraction, rows
+    duplicated via concat) + the same partial hash aggregate as the tumbling
+    plan — shuffle volume is (fan-out x groups), never (fan-out x rows)."""
+    ev = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    hour = pa.scalar(3_600_000_000, type=pa.duration("us"))
+
+    def win(t: pa.Table) -> pa.Table:
+        w0 = pc.floor_temporal(t["ts"], unit="hour")
+        cents = _cents(t["value"])
+        one = pa.table({
+            "window_start": w0,
+            "event_type": t["event_type"],
+            "value_c": cents,
+        })
+        two = pa.table({
+            "window_start": pc.subtract(w0, hour),
+            "event_type": t["event_type"],
+            "value_c": cents,
+        })
+        return pa.concat_tables([one, two])
+
+    out = (
+        ev.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="value_c"))
+    )
+    return scrub_empty_blocks(out).map_batches(
+        lambda t: pa.table({
+            "window_start": t["window_start"],
+            "event_type": t["event_type"],
+            "n_events": t["n_events"],
+            "sum_value": pc.round(
+                pc.divide(t.column("value_c").cast(pa.float64()),
+                          pa.scalar(100.0)),
+                ndigits=2, round_mode="half_towards_infinity",
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_asof_events_orders(sf_dir: str):
     """As-of join: each event matched to the latest order (by o_orderdate) of
     customer == user_id. Orders are deduped to one per (custkey, date) (max
@@ -2744,6 +2790,18 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "hopping_window_events": """
+        SELECT window_start, event_type, count(*) AS n_events,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+        FROM (
+            SELECT date_trunc('hour', ts) AS window_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start,
+                   event_type, value
+            FROM events
+        ) GROUP BY 1, 2
+    """,
     "sessionize_events": """
         WITH marked AS (
             SELECT user_id, event_id, ts,
@@ -3389,6 +3447,7 @@ QUERIES = {
     "distinct_flag_status": q_distinct_flag_status,
     "union_limit": q_union_limit,
     "windowed_events": q_windowed_events,
+    "hopping_window_events": q_hopping_window_events,
     "sessionize_events": q_sessionize_events,
     "revenue_per_segment": q_revenue_per_segment,
     "median_quantity": q_median_quantity,

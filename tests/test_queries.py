@@ -35,6 +35,7 @@ SUBSET = [
     "quota_sample",
     "redact_props",
     "tfidf_topk",
+    "hopping_window_events",
 ]
 
 
