@@ -2505,6 +2505,78 @@ def q_embedding_quantize(sf_dir: str):
     return emb.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (class prototypes — the building block
+    of IVF quantizer training, nearest-class-mean classification and cluster
+    summarization). Exactness: each component is scaled to 1e-6 integer
+    units per row (identical double math both engines), summed EXACTLY in
+    int64 through the aggregate, and divided back once at the end — the
+    order-dependence of float summation never enters the compare. Plan:
+    per-batch partial sums (one bincount-style matmul per batch) exploded to
+    (label, dim) rows — shuffle volume is labels x dims, independent of the
+    row count."""
+    emb = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "dim": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+        })
+        if n == 0:
+            return empty
+        col = t.column("embedding")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = flat.shape[0] // n
+        m = flat.reshape(n, d)
+        # 1e-6-unit integer components (DuckDB round() = half away from zero)
+        mi = np.floor(np.abs(m) * 1e6 + 0.5).astype(np.int64) * np.where(
+            m < 0, -1, 1
+        )
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((uniq.shape[0], d), dtype=np.int64)
+        np.add.at(sums, inv, mi)
+        cnts = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
+        k_ = uniq.shape[0]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k_)),
+            "s": pa.array(sums.ravel()),
+            "cnt": pa.array(np.repeat(cnts, d)),
+        })
+
+    out = (
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "label" not in t.column_names:
+            return pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "mean": pa.array([], type=pa.float64()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = pc.round(pa.array((s / 1e6) / n), ndigits=6,
+                        round_mode="half_towards_infinity")
+        return pa.table({
+            "label": t["label"].cast(pa.int64()),
+            "dim": t["dim"],
+            "mean": mean,
+            "n": t["n"],
+        })
+
+    return scrub_empty_blocks(out).map_batches(finish, batch_format="pyarrow")
+
+
 def q_tfidf_topk(sf_dir: str, k: int = 3):
     """Per-document TF-IDF top-k terms — the keyword-extraction / relevance
     op of a retrieval pipeline. Plan: map-side (doc, token, tf) counts ->
@@ -2910,6 +2982,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
                CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
         FROM c
+    """,
+    "label_centroids": """
+        WITH u AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               round((sum(CAST(round(x * 1000000) AS BIGINT)) / 1000000.0)
+                     / count(*), 6) AS mean,
+               count(*) AS n
+        FROM u GROUP BY label, dim
     """,
     "tfidf_topk": """
         WITH tk AS (
@@ -3459,6 +3544,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "redact_props": q_redact_props,
     "tfidf_topk": q_tfidf_topk,
+    "label_centroids": q_label_centroids,
     "asof_events_orders": q_asof_events_orders,
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,

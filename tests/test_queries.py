@@ -36,6 +36,7 @@ SUBSET = [
     "redact_props",
     "tfidf_topk",
     "hopping_window_events",
+    "label_centroids",
 ]
 
 
