@@ -267,6 +267,37 @@ def scrub_empty_blocks(ds, batch_size: int = 65536):
     return ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=batch_size)
 
 
+def default_key_hash(key_list):
+    """Per-row uint64 hash over the key columns: integers through one
+    splitmix pass, string/binary keys through crc32 first (a raw
+    ``astype(uint64)`` on a string column raises). Shared default
+    partitioner of partitioned_aggregate / bucketed_map_groups."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import splitmix64
+
+    def _hash(t: pa.Table) -> "np.ndarray":
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in key_list:
+            f = t.schema.field(k).type
+            if (pa.types.is_string(f) or pa.types.is_large_string(f)
+                    or pa.types.is_binary(f) or pa.types.is_large_binary(f)):
+                col = np.fromiter(
+                    (zlib.crc32(s if isinstance(s, bytes) else s.encode())
+                     for s in t.column(k).to_pylist()),
+                    dtype=np.uint64, count=t.num_rows,
+                )
+            else:
+                col = t.column(k).to_numpy(zero_copy_only=False).astype(np.uint64)
+            h ^= splitmix64(col + np.uint64(0x9E37))
+        return h
+
+    return _hash
+
+
 def partitioned_aggregate(ds, keys, aggs, num_partitions: int, part_from=None):
     """Vectorized high-cardinality grouped aggregate.
 
@@ -292,14 +323,7 @@ def partitioned_aggregate(ds, keys, aggs, num_partitions: int, part_from=None):
     key_list = list(keys)
     agg_list = list(aggs)
 
-    def _default_part(t: pa.Table) -> "np.ndarray":
-        h = np.zeros(t.num_rows, dtype=np.uint64)
-        for k in key_list:
-            col = t.column(k).to_numpy(zero_copy_only=False)
-            h ^= splitmix64(col.astype(np.uint64) + np.uint64(0x9E37))
-        return h
-
-    part_fn = part_from or _default_part
+    part_fn = part_from or default_key_hash(key_list)
 
     def _add_part(t: pa.Table) -> pa.Table:
         h = part_fn(t)
@@ -337,14 +361,7 @@ def bucketed_map_groups(ds, key_cols, kernel, num_partitions: int, part_from=Non
 
     key_list = list(key_cols)
 
-    def _default_part(t: pa.Table) -> "np.ndarray":
-        h = np.zeros(t.num_rows, dtype=np.uint64)
-        for k in key_list:
-            col = t.column(k).to_numpy(zero_copy_only=False)
-            h ^= splitmix64(col.astype(np.uint64) + np.uint64(0x9E37))
-        return h
-
-    part_fn = part_from or _default_part
+    part_fn = part_from or default_key_hash(key_list)
 
     def _add_part(t: pa.Table) -> pa.Table:
         h = part_fn(t)
