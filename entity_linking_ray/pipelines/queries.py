@@ -2505,6 +2505,129 @@ def q_embedding_quantize(sf_dir: str):
     return emb.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_pmi_bigrams(sf_dir: str, min_count: int = 10):
+    """PMI bigram collocations — statistical phrase mining over the corpus
+    (the 'new_york'-detection pass of tokenizer/vocab pipelines):
+    pmi(w1,w2) = ln(c_xy * N / (c_x * c_y)) over adjacent-token bigrams with
+    corpus-level unigram counts. Plan: map-side bigram+unigram partial
+    counts -> two partitioned exact sums on hashed STRING keys -> two
+    distributed hash joins (bigram ⋈ unigram on w1, then on w2 — the vocab
+    never lands on the driver) -> vectorized pmi attach. Float parity: ln is
+    math.log per row of the vocab-bounded result (DuckDB ln() is libm ==
+    math.log bit-exact); the log argument is built with the identical
+    double expression (CAST(c_xy) * N / (c_x * c_y)) on both sides."""
+    import math
+    import re
+    from collections import Counter
+
+    from ..stages.common import default_partitions, partitioned_aggregate
+
+    # partition count capped at the session CPU count: this plan runs a
+    # materialized exchange + two hash joins CONCURRENTLY, and Ray 2.49's
+    # aggregator pools can starve each other when one operator's partitions
+    # exceed the CPUs (observed deadlock at num_cpus=4 with P=16)
+    P = default_partitions(NPART)
+    word = re.compile(r"[a-z0-9_]+")
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        bg: Counter = Counter()
+        ug: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            toks = word.findall(s.lower())
+            ug.update(toks)
+            bg.update(zip(toks, toks[1:]))
+        keys, w1s, w2s, cnts, kinds = [], [], [], [], []
+        for (w1, w2), c in bg.items():
+            keys.append(f"{w1} {w2}")
+            w1s.append(w1)
+            w2s.append(w2)
+            cnts.append(c)
+            kinds.append(0)
+        for w, c in ug.items():
+            keys.append(w)
+            w1s.append(w)
+            w2s.append(w)
+            cnts.append(c)
+            kinds.append(1)
+        return pa.table({
+            "key": pa.array(keys, type=pa.string()),
+            "w1": pa.array(w1s, type=pa.string()),
+            "w2": pa.array(w2s, type=pa.string()),
+            "cnt": pa.array(cnts, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.int64()),
+        })
+
+    counts = partitioned_aggregate(
+        docs.map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["key", "w1", "w2", "kind"], [("cnt", "sum", "cnt")], P,
+    ).materialize()
+
+    bigrams = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], pa.scalar(0)))
+                   .drop_columns(["kind"])
+                   .rename_columns(["bigram", "w1", "w2", "c_xy"]),
+        batch_format="pyarrow",
+    )
+    unigrams = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], pa.scalar(1)))
+                   .select(["w1", "cnt"])
+                   .rename_columns(["tok", "c"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_bigrams = int(
+        bigrams.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(t.column("c_xy").to_numpy(zero_copy_only=False).sum())
+                 if t.num_rows else 0], type=pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("s")
+        or 0
+    )
+
+    u1 = unigrams.map_batches(
+        lambda t: t.rename_columns(["tok1", "c_x1"]), batch_format="pyarrow")
+    u2 = unigrams.map_batches(
+        lambda t: t.rename_columns(["tok2", "c_x2"]), batch_format="pyarrow")
+    j = safe_join(bigrams, u1, join_type="inner", num_partitions=P,
+                  on=("w1",), right_on=("tok1",))
+    j = safe_join(j, u2, join_type="inner", num_partitions=P,
+                  on=("w2",), right_on=("tok2",))
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["c_xy"], pa.scalar(min_count)))
+        empty = pa.table({
+            "bigram": pa.array([], type=pa.string()),
+            "c_xy": pa.array([], type=pa.int64()),
+            "c_x1": pa.array([], type=pa.int64()),
+            "c_x2": pa.array([], type=pa.int64()),
+            "pmi": pa.array([], type=pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        cxy = t.column("c_xy").to_numpy(zero_copy_only=False)
+        cx1 = t.column("c_x1").to_numpy(zero_copy_only=False)
+        cx2 = t.column("c_x2").to_numpy(zero_copy_only=False)
+        # vocab-bounded rowwise libm log (np.log's SIMD path differs from
+        # DuckDB's libm ln in the last bit)
+        pmi = np.fromiter(
+            (math.log(float(a) * n_bigrams / (int(b) * int(c)))
+             for a, b, c in zip(cxy, cx1, cx2)),
+            dtype=np.float64, count=cxy.shape[0],
+        )
+        return pa.table({
+            "bigram": t["bigram"],
+            "c_xy": t["c_xy"],
+            "c_x1": t["c_x1"],
+            "c_x2": t["c_x2"],
+            "pmi": pc.round(pa.array(pmi), ndigits=6,
+                            round_mode="half_towards_infinity"),
+        })
+
+    return j.map_batches(attach, batch_format="pyarrow")
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroid (class prototypes — the building block
     of IVF quantizer training, nearest-class-mean classification and cluster
@@ -2982,6 +3105,30 @@ ORACLE_SQL: dict[str, str] = {
                CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
                CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
         FROM c
+    """,
+    "pmi_bigrams": """
+        WITH tk AS (
+            SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM tk WHERE len(t) >= 2
+        ),
+        cb AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY bigram),
+        nb AS (SELECT count(*) AS n FROM bg),
+        uw AS (SELECT unnest(t) AS tok FROM tk),
+        cu AS (SELECT tok, count(*) AS c FROM uw GROUP BY tok)
+        SELECT cb.bigram, cb.c_xy,
+               u1.c AS c_x1, u2.c AS c_x2,
+               round(ln(CAST(cb.c_xy AS DOUBLE) * nb.n / (u1.c * u2.c)), 6)
+                   AS pmi
+        FROM cb
+        JOIN cu u1 ON u1.tok = split_part(cb.bigram, ' ', 1)
+        JOIN cu u2 ON u2.tok = split_part(cb.bigram, ' ', 2)
+        CROSS JOIN nb
+        WHERE cb.c_xy >= 10
     """,
     "label_centroids": """
         WITH u AS (
@@ -3545,6 +3692,7 @@ QUERIES = {
     "redact_props": q_redact_props,
     "tfidf_topk": q_tfidf_topk,
     "label_centroids": q_label_centroids,
+    "pmi_bigrams": q_pmi_bigrams,
     "asof_events_orders": q_asof_events_orders,
     "dedup_documents_exact": q_dedup_documents_exact,
     "token_stats": q_token_stats,

@@ -37,6 +37,7 @@ SUBSET = [
     "tfidf_topk",
     "hopping_window_events",
     "label_centroids",
+    "pmi_bigrams",
 ]
 
 
