@@ -55,12 +55,17 @@ def _linkage_clusters(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_linking_ray.pipelines.queries import QUERIES
 
-    out = dict(QUERIES)
-    out["linkage_clusters"] = _linkage_clusters
+    # linkage_clusters (the full flagship pipeline) FIRST: the driver's
+    # correctness sweep records entries in registry order and caps around 50,
+    # so the flagship proof must never fall off the tail.
+    out: dict[str, Callable[[str], Any]] = {"linkage_clusters": _linkage_clusters}
+    out.update(QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from entity_linking_ray.pipelines.queries import ORACLE_SQL
+    from entity_linking_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
-    return dict(ORACLE_SQL)
+    # only expose oracles for registered queries (ORACLE_SQL may keep extra
+    # entries, e.g. langid_accuracy, that are exercised directly in tests)
+    return {k: v for k, v in ORACLE_SQL.items() if k in QUERIES}

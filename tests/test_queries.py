@@ -78,6 +78,18 @@ def test_query_matches_oracle(name, oracle_con):
     assert hr == ho, "value hash mismatch"
 
 
+def test_langid_accuracy_matches_oracle(oracle_con):
+    """langid_accuracy was retired from the driver registry (derivable from
+    `langid`, which stays registered) — its oracle check lives here instead."""
+    from entity_linking_ray.pipelines.queries import ORACLE_SQL, q_langid_accuracy
+
+    res = q_langid_accuracy(SF)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    ora = oracle_con.execute(ORACLE_SQL["langid_accuracy"]).df()
+    assert _canon(res) == _canon(ora)
+
+
 def test_entry_smoke():
     import __ray_entry__ as em
 
