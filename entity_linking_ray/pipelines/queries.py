@@ -2708,7 +2708,7 @@ def q_label_centroids(sf_dir: str):
     return scrub_empty_blocks(out).map_batches(finish, batch_format="pyarrow")
 
 
-def q_tfidf_topk(sf_dir: str, k: int = 3):
+def q_tfidf_topk(sf_dir: str, k: int = 3, spill_doc_limit: int = 2_000_000):
     """Per-document TF-IDF top-k terms — the keyword-extraction / relevance
     op of a retrieval pipeline. Plan: map-side (doc, token, tf) counts ->
     partitioned exact df sum on hashed-token buckets -> DISTRIBUTED hash
@@ -2743,8 +2743,23 @@ def q_tfidf_topk(sf_dir: str, k: int = 3):
             "tf": pa.array(out_c, type=pa.int64()),
         })
 
-    tf = docs.map_batches(tf_rows, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
+    # The (doc, token, tf) posting table is consumed twice (df aggregate +
+    # join), so it must be pinned — but it is LARGER than the corpus itself
+    # at scale, and plasma is the wrong home for it there. Size gate: small
+    # corpora pin in the object store; past `spill_doc_limit` docs the
+    # posting table spills to partitioned Parquet and is re-read with
+    # file-level parallelism (the CheckpointManager pattern, inlined here
+    # because this spill is ephemeral, not a resume point).
+    tf_lazy = docs.map_batches(tf_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    if n_docs <= spill_doc_limit:
+        tf = tf_lazy.materialize()
+    else:
+        import tempfile
+
+        spill = tempfile.mkdtemp(prefix="tfidf_postings_")
+        tf_lazy.write_parquet(spill)
+        tf = rd.read_parquet(spill)
 
     def tok_hash(t: pa.Table) -> np.ndarray:
         return np.fromiter(

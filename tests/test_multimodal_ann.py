@@ -217,3 +217,49 @@ def test_brute_force_shard_merge_edges(ray_session):
     # ranks are 1..4 per query
     for _, g in out.groupby("query_id"):
         assert sorted(g["rank"]) == [1, 2, 3, 4]
+
+
+def test_ivf_payload_autosizing_end_to_end(monkeypatch):
+    """Payload-contract stress probe: drive ivf_topk end-to-end with wide
+    synthetic embeddings under a tiny per-bucket byte target so
+    partitions_for_bytes MUST raise P above the base partition count (the
+    auto-sizing is exercised for real, not just the max_bucket_bytes
+    assert) — and the exhaustive result still equals brute force exactly."""
+    import entity_linking_ray.stages.common as common
+    from entity_linking_ray.stages.common import partitions_for_bytes as real_pfb
+
+    chosen = []
+
+    def tight_pfb(n_rows, bytes_per_row, base, **kw):
+        p = real_pfb(n_rows, bytes_per_row, base, target_bucket_bytes=64 << 10)
+        chosen.append((p, base))
+        return p
+
+    monkeypatch.setattr(common, "partitions_for_bytes", tight_pfb)
+
+    rng = np.random.default_rng(7)
+    n, dim = 1200, 64
+    emb = rng.normal(size=(n, dim))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.astype(np.float64).ravel()), dim),
+    })
+    cands = rd.from_arrow(tbl)
+    queries = cands.map_batches(
+        lambda t: t.filter(pa.compute.less(t["vec_id"], 40)),
+        batch_format="pyarrow",
+    )
+    # exhaustive (n_probe == n_cells) + float64 wire dtype == brute force
+    ivf = ivf_topk(queries, cands, k=5, n_cells=32, n_probe=32,
+                   num_partitions=4, pack_dtype=np.float64).to_pandas()
+    assert chosen and chosen[0][0] > chosen[0][1], (
+        f"auto-sizing not exercised: {chosen}")
+
+    bf = brute_force_topk(queries, cands, k=5).to_pandas()
+    key = ["query_id", "rank"]
+    a = ivf.sort_values(key).reset_index(drop=True)
+    b = bf.sort_values(key).reset_index(drop=True)
+    assert (a["query_id"].values == b["query_id"].values).all()
+    assert (a["neighbor_id"].values == b["neighbor_id"].values).all()
+    np.testing.assert_allclose(a["cos"].values, b["cos"].values, atol=1e-9)

@@ -123,6 +123,21 @@ def test_linkage_exact_clusters_refine_flagship():
         assert len(clusters) == 1, (comp, clusters)
 
 
+def test_tfidf_spill_plans_agree():
+    """tfidf_topk: the plasma-pinned posting table and the parquet-spilled
+    posting table (scale path, forced via spill_doc_limit=0) give identical
+    results."""
+    from entity_linking_ray.pipelines.queries import q_tfidf_topk
+
+    a = q_tfidf_topk(SF).to_pandas()
+    b = q_tfidf_topk(SF, spill_doc_limit=0).to_pandas()
+    key = ["doc_id", "rk"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_anti_join_plans_agree():
     """customers_without_orders: the broadcast plan and the forced
     hash-shuffle anti-join plan return identical rows."""

@@ -102,6 +102,65 @@ def test_partitioned_sink_skips_finished_partitions(tmp_path):
     assert {v: p.count() for v, p in parts2.items()} == {"en": 10, "de": 10, "fr": 10}
 
 
+def test_curation_split_resume_identical(tmp_path):
+    """Kill-and-resume over a representative CURATION pipeline (the
+    train/valid/test split write of q_split_assign, one resumable directory
+    per split via run_partitioned): the interrupted run recomputes ONLY the
+    killed partition — finished manifests are not rewritten — and the
+    resumed output equals the uninterrupted run's exactly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from entity_linking_ray.state.checkpoint import CheckpointManager
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    t_cut, v_cut = int(0.8 * 65536), int(0.9 * 65536)
+
+    def for_split(split):
+        def assign(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            u = np.fromiter(
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+                 for i in ids),
+                dtype=np.int64, count=len(ids),
+            )
+            s = np.where(u < t_cut, "train",
+                         np.where(u < v_cut, "valid", "test"))
+            return t.filter(pa.array(s == split))
+        return docs.map_batches(assign, batch_format="pyarrow")
+
+    def run(root):
+        mgr = CheckpointManager(root, "cfg-split")
+        return mgr.run_partitioned("splits", "split",
+                                   ["train", "valid", "test"], for_split)
+
+    full = run(str(tmp_path / "A"))
+
+    # interrupted run: test partition dies after train+valid landed
+    root_b = str(tmp_path / "B")
+    run(root_b)
+    shutil.rmtree(os.path.join(root_b, "splits", "split=test"))
+    mpath = lambda s: os.path.join(root_b, "splits", f"split={s}",
+                                   "_MANIFEST.json")
+    before = {s: os.path.getmtime(mpath(s)) for s in ("train", "valid")}
+    resumed = run(root_b)
+    after = {s: os.path.getmtime(mpath(s)) for s in ("train", "valid")}
+    assert before == after  # finished partitions skipped, never rewritten
+
+    total = 0
+    for s in ("train", "valid", "test"):
+        a = full[s].to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = resumed[s].to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        total += len(a)
+    assert total == docs.count()  # partition of the corpus, nothing lost
+
+
 def test_input_change_invalidates_checkpoint(tmp_path):
     """Re-pointing a checkpoint dir at CHANGED input data must recompute,
     not silently return the stale clusters (the input fingerprint is part of
