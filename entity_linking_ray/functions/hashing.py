@@ -177,15 +177,36 @@ def oph_signatures(
     )
     flat = np.concatenate([h for h in shingle_hashes if h.shape[0] > 0])
     h = splitmix64(flat ^ key)
-    bins = (h % np.uint64(num_perm)).astype(np.int64)
-    vals = (h >> np.uint64(32)).astype(np.uint32)
+    # num_perm is a power of two in every config: & replaces the (much
+    # slower) 64-bit modulo without changing a single bin assignment
+    if num_perm & (num_perm - 1) == 0:
+        bins = (h & np.uint64(num_perm - 1)).astype(np.int64)
+    else:
+        bins = (h % np.uint64(num_perm)).astype(np.int64)
     rows = np.repeat(np.flatnonzero(lens > 0), lens[lens > 0])
     combined = rows * num_perm + bins
-    order = np.argsort(combined, kind="stable")
-    combined = combined[order]
-    vals = vals[order]
-    starts = np.flatnonzero(np.diff(combined, prepend=combined[0] - 1))
-    mins = np.minimum.reduceat(vals, starts)
+    n_slots = n * num_perm
+    if n_slots <= (1 << 32):
+        # fused path: pack (slot << 32 | value) into one uint64 and plain-sort
+        # — the first element of each slot run IS the per-(row, bin) minimum.
+        # One unstable sort with no permutation array replaces the stable
+        # argsort + two takes + reduceat chain (the measured hot spot of the
+        # whole featurize stage); the mins are bit-identical by construction.
+        packed = (combined.astype(np.uint64) << np.uint64(32)) | (
+            h >> np.uint64(32)
+        )
+        packed.sort()
+        slot = (packed >> np.uint64(32)).astype(np.int64)
+        starts = np.flatnonzero(np.diff(slot, prepend=slot[0] - 1))
+        mins = (packed[starts] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        combined = slot  # slot ids in sorted order (for the scatter below)
+    else:
+        vals = (h >> np.uint64(32)).astype(np.uint32)
+        order = np.argsort(combined, kind="stable")
+        combined = combined[order]
+        vals = vals[order]
+        starts = np.flatnonzero(np.diff(combined, prepend=combined[0] - 1))
+        mins = np.minimum.reduceat(vals, starts)
     sig.ravel()[combined[starts]] = mins
     # bin emptiness is tracked EXPLICITLY: a legitimate min equal to the
     # 0xFFFFFFFF fill value (p ~ 2^-32 per bin) must not be densified away
@@ -229,9 +250,19 @@ def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Fast deterministic uint64 mixer (for salting shard assignment)."""
+    """Fast deterministic uint64 mixer (for salting shard assignment).
+
+    In-place ops over one reused shift buffer: the expression form allocated
+    six temporaries per call — at featurize scale (multi-10^7-element inputs,
+    bandwidth-bound stage) the extra memory passes were measurable."""
     x = x.astype(np.uint64, copy=True)
     x += np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+    t = x >> np.uint64(30)
+    x ^= t
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    np.right_shift(x, np.uint64(27), out=t)
+    x ^= t
+    x *= np.uint64(0x94D049BB133111EB)
+    np.right_shift(x, np.uint64(31), out=t)
+    x ^= t
+    return x
